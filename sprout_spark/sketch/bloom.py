@@ -1,0 +1,206 @@
+"""Partitioned (sliced) Bloom filter — reference-parity geometry.
+
+Reimplements the semantics of dsa0x/sprout's fixed-size ``BloomFilter``
+(``/root/reference/bloom.go``) as a vectorized numpy sketch:
+
+* geometry (``bloom.go:100-114``):
+    k      = ceil(log2(1/err_rate))
+    M      = int(capacity * |ln err_rate| / ln(2)^2)
+    m      = M // k                       (bits per slice)
+    seeds  = 64 << (i+1)  for i in 0..k-1
+* sliced addressing (``bloom.go:297-307``): hash function *i* owns the
+  disjoint bit range ``[i*m, (i+1)*m)``; the bit for key *x* is
+  ``i*m + murmur3_64(x, seeds[i]) % m``.
+* ``Add`` errors once ``count`` reaches ``capacity``
+  (``bloom.go:170-172``).
+* ``Merge`` requires identical geometry and ORs the bit arrays
+  (``bloom.go:241-260``). Divergence from the reference (its quirk Q2,
+  see SURVEY.md §1.5): we *sum* counts on merge, which distributed
+  capacity accounting requires; OR-associativity is unaffected.
+
+Storage differs deliberately: the reference mmaps a byte file with
+MSB-first bit addressing (``bloom.go:283-294``); payloads never
+interchange, so we use an in-memory uint8 array with LSB-first bit
+addressing (``byte = idx >> 3``, ``mask = 1 << (idx & 7)``), which is
+exactly numpy's ``packbits(bitorder='little')`` layout and lets the
+partial build scatter a whole Arrow batch at once.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..hashing import murmur3_64_packed, pack_any, pack_arrow
+from .base import MergeableSketch, register
+
+
+class BloomCapacityError(RuntimeError):
+    """Raised when adding past capacity (parity: bloom.go:170-172)."""
+
+
+def bloom_geometry(capacity: int, err_rate: float) -> dict:
+    """The reference's sizing math, verbatim (bloom.go:100-114)."""
+    if not (0.0 < err_rate < 1.0):
+        raise ValueError("Error rate must be between 0 and 1")
+    if capacity <= 10:
+        raise ValueError("Capacity must be greater than 10")
+    k = int(math.ceil(math.log2(1.0 / err_rate)))
+    ln22 = math.log(2) ** 2
+    m_total = int(capacity * abs(math.log(err_rate)) / ln22)
+    m = m_total // k
+    seeds = np.array([64 << (i + 1) for i in range(k)], dtype=np.uint64)
+    return {"k": k, "M": m_total, "m": m, "seeds": seeds}
+
+
+@register
+class BloomFilter(MergeableSketch):
+    TYPE = "bloom"
+
+    def __init__(self, capacity: int = 10000, err_rate: float = 0.001):
+        geo = bloom_geometry(capacity, err_rate)
+        self.capacity = int(capacity)
+        self.err_rate = float(err_rate)
+        self.k = geo["k"]
+        self.m = geo["m"]
+        self.seeds = geo["seeds"]
+        self.nbits = self.k * self.m
+        self.bits = np.zeros((self.nbits + 7) // 8, dtype=np.uint8)
+        self.count = 0
+
+    # -- geometry ----------------------------------------------------------
+    def same_geometry(self, other: "BloomFilter") -> bool:
+        return (
+            isinstance(other, BloomFilter)
+            and self.k == other.k
+            and self.m == other.m
+            and len(self.bits) == len(other.bits)
+        )
+
+    # -- indices -----------------------------------------------------------
+    def _indices(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """(k, n) flat bit indices: i*m + murmur3(key, seed_i) % m."""
+        m = np.uint64(self.m)
+        out = np.empty((self.k, len(lens)), dtype=np.uint64)
+        for i in range(self.k):
+            h = murmur3_64_packed(mat, lens, self.seeds[i])
+            out[i] = np.uint64(i) * m + (h % m)
+        return out
+
+    # -- partial build -----------------------------------------------------
+    def _add_indices(self, idx: np.ndarray, n: int, enforce_capacity: bool) -> None:
+        if enforce_capacity and self.count + n > self.capacity:
+            raise BloomCapacityError(
+                f"Filter capacity reached: count={self.count} + {n} > "
+                f"capacity={self.capacity}"
+            )
+        # scatter all k*n bits at once: bool staging buffer -> packbits OR
+        stage = np.zeros(len(self.bits) * 8, dtype=bool)
+        stage[idx.ravel()] = True
+        self.bits |= np.packbits(stage, bitorder="little")
+        self.count += n
+
+    def add_packed(
+        self, mat: np.ndarray, lens: np.ndarray, enforce_capacity: bool = True
+    ) -> None:
+        n = len(lens)
+        if n == 0:
+            return
+        self._add_indices(self._indices(mat, lens), n, enforce_capacity)
+
+    def update_arrow(self, arr) -> None:
+        mat, lens = pack_arrow(arr)
+        self.add_packed(mat, lens)
+
+    def update_values(self, values) -> None:
+        mat, lens = pack_any(values)
+        self.add_packed(mat, lens)
+
+    def add(self, key) -> None:
+        """Single-key Add (API parity with bloom.go:164-187)."""
+        self.update_values([key])
+
+    # -- probe ---------------------------------------------------------------
+    def contains_packed(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        n = len(lens)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(mat, lens)
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        bit = (self.bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        return bit.all(axis=0)
+
+    def contains_arrow(self, arr) -> np.ndarray:
+        mat, lens = pack_arrow(arr)
+        return self.contains_packed(mat, lens)
+
+    def contains_values(self, values) -> np.ndarray:
+        mat, lens = pack_any(values)
+        return self.contains_packed(mat, lens)
+
+    def contains(self, key) -> bool:
+        return bool(self.contains_values([key])[0])
+
+    # -- final ---------------------------------------------------------------
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if not self.same_geometry(other):
+            raise ValueError(
+                "cannot merge bloom filters with different geometry "
+                f"(k={self.k}/{other.k}, m={self.m}/{other.m})"
+            )
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.count += other.count  # fixes reference quirk Q2
+        return self
+
+    # -- lifecycle / introspection (parity rows 5-9 of SURVEY.md §2.1) -------
+    def clear(self) -> None:
+        self.bits[:] = 0
+        self.count = 0
+
+    def filter_size(self) -> int:
+        return len(self.bits)
+
+    def fill_fractions(self) -> np.ndarray:
+        """Per-slice ones-density (k,) — honest saturation measure."""
+        ones = np.unpackbits(self.bits, bitorder="little")[: self.nbits]
+        return ones.reshape(self.k, self.m).mean(axis=1)
+
+    def prob_observed(self) -> float:
+        """Actual FPR estimate from bit density: a probe false-positives iff
+        its bit is set in every slice, so FPR = prod(fill_fraction_i).
+        Unlike the configured ``err_rate`` this stays honest when a merge
+        pushed ``count`` past ``capacity``."""
+        return float(np.prod(self.fill_fractions()))
+
+    def stats(self) -> dict:
+        return {
+            "type": self.TYPE,
+            "capacity": self.capacity,
+            "count": self.count,
+            "size_bytes": self.filter_size(),
+            "M": self.m,
+            "K": self.k,
+            "prob": self.err_rate,
+        }
+
+    # -- wire format ----------------------------------------------------------
+    def _meta(self) -> dict:
+        return {
+            "capacity": self.capacity,
+            "err_rate": self.err_rate,
+            "count": self.count,
+        }
+
+    def _payload(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def _from_parts(cls, meta: dict, payload: bytes) -> "BloomFilter":
+        bf = cls(meta["capacity"], meta["err_rate"])
+        bits = np.frombuffer(payload, dtype=np.uint8)
+        if len(bits) != len(bf.bits):
+            raise ValueError("payload size does not match geometry")
+        bf.bits = bits.copy()
+        bf.count = int(meta["count"])
+        return bf
