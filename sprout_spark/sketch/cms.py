@@ -1,0 +1,137 @@
+"""Count-Min Sketch (Cormode & Muthukrishnan 2005) — mergeable frequencies.
+
+No counterpart in the reference (north-rule addition; SURVEY.md §2.3).
+Geometry: ``d = ceil(ln(1/delta))`` rows × ``w = ceil(e/eps)`` columns of
+int64 counters. Row *j* uses the reference's seeded murmur3 with the same
+seed schedule as the Bloom filter (``64 << (j+1)``, bloom.go:111-114).
+
+Guarantee: estimates never under-count, and over-count by at most ``eps*N``
+with probability ``1-delta`` (N = total added weight). Merge is
+element-wise ``+`` (associative, commutative).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..hashing import murmur3_64_packed, pack_any, pack_arrow
+from .base import MergeableSketch, register
+
+_U64 = np.uint64
+
+
+@register
+class CountMinSketch(MergeableSketch):
+    TYPE = "cms"
+
+    def __init__(self, eps: float = 0.0001, delta: float = 0.01):
+        if not (0 < eps < 1) or not (0 < delta < 1):
+            raise ValueError("eps and delta must be in (0, 1)")
+        self.eps = float(eps)
+        self.delta = float(delta)
+        self.w = int(math.ceil(math.e / eps))
+        self.d = int(math.ceil(math.log(1.0 / delta)))
+        self.seeds = np.array([64 << (j + 1) for j in range(self.d)], dtype=np.uint64)
+        self.counts = np.zeros((self.d, self.w), dtype=np.int64)
+        self.total = 0  # N: total added weight
+
+    # -- partial --------------------------------------------------------------
+    def add_packed(
+        self, mat: np.ndarray, lens: np.ndarray, weights: np.ndarray | None = None
+    ) -> None:
+        n = len(lens)
+        if n == 0:
+            return
+        if weights is None:
+            weights = np.ones(n, dtype=np.int64)
+        else:
+            weights = np.asarray(weights, dtype=np.int64)
+        w64 = _U64(self.w)
+        for j in range(self.d):
+            col = (murmur3_64_packed(mat, lens, self.seeds[j]) % w64).astype(np.int64)
+            np.add.at(self.counts[j], col, weights)
+        self.total += int(weights.sum())
+
+    def update_arrow(self, arr, weights=None) -> None:
+        mat, lens = pack_arrow(arr)
+        self.add_packed(mat, lens, weights)
+
+    def update_values(self, values, weights=None) -> None:
+        mat, lens = pack_any(values)
+        self.add_packed(mat, lens, weights)
+
+    # -- final -----------------------------------------------------------------
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (
+            not isinstance(other, CountMinSketch)
+            or other.w != self.w
+            or other.d != self.d
+        ):
+            raise ValueError("cannot merge CMS with different geometry")
+        self.counts += other.counts
+        self.total += other.total
+        return self
+
+    # -- query --------------------------------------------------------------------
+    def estimate_packed(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        n = len(lens)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        w64 = _U64(self.w)
+        est = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(self.d):
+            col = (murmur3_64_packed(mat, lens, self.seeds[j]) % w64).astype(np.int64)
+            np.minimum(est, self.counts[j, col], out=est)
+        return est
+
+    def estimate_values(self, values) -> np.ndarray:
+        mat, lens = pack_any(values)
+        return self.estimate_packed(mat, lens)
+
+    def estimate_arrow(self, arr) -> np.ndarray:
+        mat, lens = pack_arrow(arr)
+        return self.estimate_packed(mat, lens)
+
+    def estimate(self, key) -> int:
+        return int(self.estimate_values([key])[0])
+
+    def error_bound(self) -> float:
+        """Additive over-count bound eps*N holding w.p. 1-delta."""
+        return self.eps * self.total
+
+    def heavy_hitters(self, candidates, threshold: float) -> list[tuple]:
+        """Candidates whose estimated count >= threshold * N."""
+        est = self.estimate_values(list(candidates))
+        cut = threshold * self.total
+        out = [(c, int(e)) for c, e in zip(candidates, est) if e >= cut]
+        return sorted(out, key=lambda t: (-t[1], str(t[0])))
+
+    def stats(self) -> dict:
+        return {
+            "type": self.TYPE,
+            "eps": self.eps,
+            "delta": self.delta,
+            "w": self.w,
+            "d": self.d,
+            "total": self.total,
+            "error_bound": self.error_bound(),
+        }
+
+    # -- wire format -------------------------------------------------------------------
+    def _meta(self) -> dict:
+        return {"eps": self.eps, "delta": self.delta, "total": self.total}
+
+    def _payload(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def _from_parts(cls, meta: dict, payload: bytes) -> "CountMinSketch":
+        c = cls(meta["eps"], meta["delta"])
+        counts = np.frombuffer(payload, dtype=np.int64)
+        if len(counts) != c.d * c.w:
+            raise ValueError("payload size does not match geometry")
+        c.counts = counts.reshape(c.d, c.w).copy()
+        c.total = int(meta["total"])
+        return c

@@ -1,0 +1,130 @@
+"""HyperLogLog (Flajolet et al. 2007) — dense registers, mergeable.
+
+No counterpart in the reference (required by the north rule; SURVEY.md
+§2.3). Same partial/final skeleton as the Bloom filter: per-partition
+register arrays built vectorized from Arrow batches, merged with
+element-wise ``max`` (associative, commutative, idempotent).
+
+Geometry: ``m = 2**p`` uint8 registers. For each key, ``h = murmur3_64``
+(seed 0, the reference's hash); the top ``p`` bits select the register and
+``rho`` = leading-zero count of the remaining ``64-p`` bits + 1 is the
+candidate value. Standard bias handling: linear counting below 2.5·m when
+empty registers exist; no large-range correction is needed with a 64-bit
+hash. Relative standard error ≈ 1.04/√m.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..hashing import murmur3_64_packed, pack_any, pack_arrow
+from .base import MergeableSketch, register
+
+_U64 = np.uint64
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float rounding)."""
+    x = x.copy()
+    bl = np.zeros(x.shape, dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (_U64(1) << _U64(s))
+        bl[m] += _U64(s)
+        x[m] >>= _U64(s)
+    bl[x > 0] += _U64(1)
+    return bl
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+@register
+class HyperLogLog(MergeableSketch):
+    TYPE = "hll"
+
+    def __init__(self, p: int = 14, seed: int = 0):
+        if not (4 <= p <= 18):
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.seed = int(seed)
+        self.m = 1 << self.p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        self.count = 0  # rows observed (not distinct)
+
+    # -- partial -------------------------------------------------------------
+    def add_packed(self, mat: np.ndarray, lens: np.ndarray) -> None:
+        n = len(lens)
+        if n == 0:
+            return
+        h = murmur3_64_packed(mat, lens, self.seed)
+        idx = (h >> _U64(64 - self.p)).astype(np.int64)
+        low = h & ((_U64(1) << _U64(64 - self.p)) - _U64(1))
+        rho = (_U64(64 - self.p) - _bit_length_u64(low) + _U64(1)).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+        self.count += n
+
+    def update_arrow(self, arr) -> None:
+        mat, lens = pack_arrow(arr)
+        self.add_packed(mat, lens)
+
+    def update_values(self, values) -> None:
+        mat, lens = pack_any(values)
+        self.add_packed(mat, lens)
+
+    # -- final ----------------------------------------------------------------
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if not isinstance(other, HyperLogLog) or other.p != self.p or other.seed != self.seed:
+            raise ValueError("cannot merge HLLs with different geometry")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        self.count += other.count
+        return self
+
+    # -- query ------------------------------------------------------------------
+    def estimate(self) -> float:
+        m = self.m
+        inv = np.ldexp(1.0, -self.registers.astype(np.int32))
+        raw = _alpha(m) * m * m / inv.sum()
+        if raw <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * math.log(m / zeros)  # linear counting
+        return float(raw)
+
+    def relative_error(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+    def stats(self) -> dict:
+        return {
+            "type": self.TYPE,
+            "p": self.p,
+            "m": self.m,
+            "count": self.count,
+            "estimate": self.estimate(),
+            "rse": self.relative_error(),
+        }
+
+    # -- wire format ----------------------------------------------------------------
+    def _meta(self) -> dict:
+        return {"p": self.p, "seed": self.seed, "count": self.count}
+
+    def _payload(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def _from_parts(cls, meta: dict, payload: bytes) -> "HyperLogLog":
+        h = cls(meta["p"], meta.get("seed", 0))
+        regs = np.frombuffer(payload, dtype=np.uint8)
+        if len(regs) != h.m:
+            raise ValueError("payload size does not match geometry")
+        h.registers = regs.copy()
+        h.count = int(meta["count"])
+        return h

@@ -1,0 +1,258 @@
+"""Statistical bound + merge-law tests for HLL / CMS / t-digest / KLL
+(SURVEY.md §2.3 acceptance criteria, §5.2 items 3-4).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from sprout_spark.sketch import (
+    KLL,
+    CountMinSketch,
+    HyperLogLog,
+    TDigest,
+    sketch_from_bytes,
+)
+
+
+def keys(prefix, n, start=0):
+    return [f"{prefix}-{i:08d}" for i in range(start, start + n)]
+
+
+# ------------------------------------------------------------------- HLL
+
+
+@pytest.mark.parametrize("n", [100, 5000, 200_000])
+def test_hll_estimate_within_bound(n):
+    h = HyperLogLog(p=14)
+    h.update_values(keys("u", n))
+    est = h.estimate()
+    tol = 3 * 1.04 / math.sqrt(h.m)
+    assert abs(est - n) / n <= tol, (n, est)
+
+
+def test_hll_duplicates_dont_inflate():
+    h = HyperLogLog(p=12)
+    ks = keys("d", 1000)
+    for _ in range(5):
+        h.update_values(ks)
+    est = h.estimate()
+    assert abs(est - 1000) / 1000 <= 3 * 1.04 / math.sqrt(h.m)
+    assert h.count == 5000  # rows observed, not distinct
+
+
+def test_hll_merge_equals_single_build_bitwise():
+    ks = keys("m", 30_000)
+    parts = [ks[i::3] for i in range(3)]
+
+    def build(part):
+        h = HyperLogLog(p=14)
+        h.update_values(part)
+        return h
+
+    ab = build(parts[0]).merge(build(parts[1])).merge(build(parts[2]))
+    ba = build(parts[2]).merge(build(parts[0])).merge(build(parts[1]))
+    whole = build(ks)
+    assert (ab.registers == whole.registers).all()  # max-merge == single build
+    assert (ab.registers == ba.registers).all()
+    assert ab.estimate() == whole.estimate()
+
+
+def test_hll_roundtrip():
+    h = HyperLogLog(p=10)
+    h.update_values(keys("r", 500))
+    back = sketch_from_bytes(h.to_bytes())
+    assert isinstance(back, HyperLogLog)
+    assert (back.registers == h.registers).all()
+    assert back.estimate() == h.estimate()
+
+
+# ------------------------------------------------------------------- CMS
+
+
+def test_cms_never_undercounts_and_bound():
+    rng = np.random.RandomState(42)
+    # zipf-ish frequencies over 200 distinct tools
+    tools = [f"tool-{i:03d}" for i in range(200)]
+    freqs = (10000 / (np.arange(200) + 1) ** 1.5).astype(int) + 1
+    c = CountMinSketch(eps=0.001, delta=0.01)
+    vals, counts = [], {}
+    for t, f in zip(tools, freqs):
+        counts[t] = int(f)
+    stream = np.repeat(np.arange(200), freqs)
+    rng.shuffle(stream)
+    # feed in batches with weights=1
+    svals = [tools[i] for i in stream]
+    c.update_values(svals)
+    n = len(svals)
+    assert c.total == n
+    est = c.estimate_values(tools)
+    exact = np.array([counts[t] for t in tools])
+    assert (est >= exact).all()  # never under-counts
+    assert (est <= exact + c.eps * n).all()  # eps-N over-count bound
+
+
+def test_cms_weighted_updates():
+    c = CountMinSketch(eps=0.01, delta=0.01)
+    c.update_values(["a", "b"], weights=[10, 3])
+    assert c.estimate("a") >= 10
+    assert c.total == 13
+
+
+def test_cms_merge_equals_single_build():
+    svals = keys("x", 2000) + keys("x", 1000)  # some repeats
+    parts = [svals[0::2], svals[1::2]]
+
+    def build(p):
+        c = CountMinSketch(eps=0.01, delta=0.05)
+        c.update_values(p)
+        return c
+
+    ab = build(parts[0]).merge(build(parts[1]))
+    ba = build(parts[1]).merge(build(parts[0]))
+    whole = build(svals)
+    assert (ab.counts == whole.counts).all()
+    assert (ab.counts == ba.counts).all()
+    assert ab.total == whole.total == len(svals)
+
+
+def test_cms_heavy_hitters():
+    c = CountMinSketch(eps=0.001, delta=0.01)
+    c.update_values(["hot"] * 500 + [f"cold-{i}" for i in range(500)])
+    hh = c.heavy_hitters(["hot", "cold-1", "cold-2"], threshold=0.1)
+    assert [t for t, _ in hh] == ["hot"]
+
+
+def test_cms_roundtrip():
+    c = CountMinSketch(eps=0.01, delta=0.05)
+    c.update_values(keys("r", 100))
+    back = sketch_from_bytes(c.to_bytes())
+    assert (back.counts == c.counts).all() and back.total == c.total
+
+
+# ------------------------------------------------------------------- t-digest
+
+
+def _rank_of(sorted_vals, x):
+    return np.searchsorted(sorted_vals, x, side="right") / len(sorted_vals)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "bimodal"])
+def test_tdigest_rank_error(dist):
+    rng = np.random.RandomState(42)
+    if dist == "uniform":
+        data = rng.uniform(0, 1000, 100_000)
+    elif dist == "lognormal":
+        data = rng.lognormal(4, 1, 100_000)
+    else:
+        data = np.concatenate([rng.normal(0, 1, 50_000), rng.normal(100, 5, 50_000)])
+    td = TDigest(delta=200)
+    for i in range(0, len(data), 10_000):  # arrow-batch-sized updates
+        td.update_array(data[i : i + 10_000])
+    s = np.sort(data)
+    for q in [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]:
+        est = td.quantile(q)
+        rank_err = abs(_rank_of(s, est) - q)
+        # k1 scale: tails much tighter than 1/delta; generous global band
+        assert rank_err <= 0.01, (dist, q, rank_err)
+    for q in [0.001, 0.999]:
+        est = td.quantile(q)
+        assert abs(_rank_of(s, est) - q) <= 0.002, (dist, q)
+
+
+def test_tdigest_merge_within_bound():
+    rng = np.random.RandomState(7)
+    data = rng.lognormal(4, 1, 60_000)
+    parts = np.array_split(data, 8)
+
+    def build(p):
+        td = TDigest(delta=200)
+        td.update_array(p)
+        return td
+
+    merged = build(parts[0])
+    for p in parts[1:]:
+        merged = merged.merge(build(p))
+    assert merged.count == len(data)
+    s = np.sort(data)
+    for q in [0.05, 0.5, 0.95, 0.99]:
+        est = merged.quantile(q)
+        assert abs(_rank_of(s, est) - q) <= 0.015, q
+    # exact extremes survive merge
+    assert merged.min == data.min() and merged.max == data.max()
+
+
+def test_tdigest_centroid_budget():
+    td = TDigest(delta=200)
+    rng = np.random.RandomState(3)
+    td.update_array(rng.uniform(0, 1, 50_000))
+    assert len(td.means) <= 200
+
+
+def test_tdigest_cdf_and_roundtrip():
+    td = TDigest(delta=100)
+    td.update_array(np.arange(10_000, dtype=float))
+    assert abs(td.cdf(5000) - 0.5) < 0.02
+    back = sketch_from_bytes(td.to_bytes())
+    assert back.count == td.count
+    assert back.quantile(0.5) == td.quantile(0.5)
+
+
+# ------------------------------------------------------------------- KLL
+
+
+def test_kll_rank_error():
+    rng = np.random.RandomState(42)
+    data = rng.lognormal(4, 1, 100_000)
+    kll = KLL(k=200)
+    for i in range(0, len(data), 10_000):
+        kll.update_array(data[i : i + 10_000])
+    assert kll.n == len(data)
+    assert kll.num_retained() < 3000  # sublinear space
+    s = np.sort(data)
+    for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+        est = kll.quantile(q)
+        assert abs(_rank_of(s, est) - q) <= 0.025, q
+    # rank() inverse within bound
+    for x in np.percentile(data, [10, 50, 90]):
+        assert abs(kll.rank(x) - _rank_of(s, x)) <= 0.025
+
+
+def test_kll_merge_within_bound():
+    rng = np.random.RandomState(11)
+    data = rng.uniform(0, 1, 80_000)
+    parts = np.array_split(data, 16)
+
+    def build(p):
+        k = KLL(k=200)
+        k.update_array(p)
+        return k
+
+    merged = build(parts[0])
+    for p in parts[1:]:
+        merged = merged.merge(build(p))
+    assert merged.n == len(data)
+    s = np.sort(data)
+    for q in [0.1, 0.5, 0.9]:
+        est = merged.quantile(q)
+        assert abs(_rank_of(s, est) - q) <= 0.03, q
+
+
+def test_kll_exact_when_small():
+    kll = KLL(k=200)
+    kll.update_array(np.arange(100, dtype=float))
+    assert kll.quantile(0.0) == 0.0
+    assert kll.quantile(1.0) == 99.0
+    assert abs(kll.quantile(0.5) - 49.5) <= 1.0
+
+
+def test_kll_roundtrip():
+    kll = KLL(k=128)
+    rng = np.random.RandomState(5)
+    kll.update_array(rng.normal(0, 1, 20_000))
+    back = sketch_from_bytes(kll.to_bytes())
+    assert back.n == kll.n
+    assert back.num_retained() == kll.num_retained()
+    for q in [0.1, 0.5, 0.9]:
+        assert back.quantile(q) == kll.quantile(q)
