@@ -160,11 +160,26 @@ def pack_keys(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.nda
 
 def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     """Pack a pyarrow String/Binary/LargeString array without copies of the
-    underlying data buffer.  Nulls hash as empty strings."""
+    underlying data buffer.  Nulls hash as empty strings.
+
+    Fixed-width integer arrays use the canonical little-endian fixed-width
+    key encoding (mirroring the reference's test usage of LE uint32 keys,
+    bloom_test.go:66-69)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        # canonical integer key encoding: widen to 8-byte LE so the same
+        # value hashes identically from int32 and int64 columns
+        raw = np.ascontiguousarray(
+            arr.to_numpy(zero_copy_only=False).astype("<i8")
+        )
+        n = len(raw)
+        mat = np.zeros((n, 16), dtype=np.uint8)
+        mat[:, :8] = raw.view(np.uint8).reshape(n, 8)
+        lens = np.full(n, 8, dtype=np.int64)
+        return mat, lens
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dtype = np.int64
     else:
@@ -183,8 +198,19 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
 
 
 def pack_any(values) -> tuple[np.ndarray, np.ndarray]:
-    """Pack a python/pandas sequence of str/bytes (test convenience)."""
-    bs = [v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values]
+    """Pack a python sequence of str/bytes/int keys (tests / driver-side).
+
+    Canonical key encoding: UTF-8 for strings, 8-byte little-endian signed
+    for integers (matching :func:`pack_arrow`'s integer-column path)."""
+
+    def enc(v):
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            return int(v).to_bytes(8, "little", signed=True)
+        return bytes(v)
+
+    bs = [enc(v) for v in values]
     lens = np.array([len(b) for b in bs], dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(lens)])
     data = (

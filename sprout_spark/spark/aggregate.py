@@ -1,0 +1,222 @@
+"""Distributed sketch building: scan → partition-local partial → tree merge.
+
+This is the Spark skeleton every sketch plugs into (SURVEY.md §3.4):
+
+    transcripts DataFrame (parquet/Iceberg scan; Catalyst prunes to the
+    sketched column)
+      → mapInArrow(partial)            # one fixed-size sketch row per
+                                       #   partition, built vectorized in
+                                       #   numpy from Arrow batches —
+                                       #   zero per-row Python
+      → tree merge                     # groupBy(part_id // fanin)
+                                       #   .applyInPandas(merge) repeated,
+                                       #   so no task ever receives more
+                                       #   than fanin × sketch_size bytes
+      → driver MergeableSketch         # final merge of ≤ fanin rows
+
+The partial step is the distributed analog of the reference's ``Add`` loop
+(``bloom.go:164-187``), the merge step of its ``Merge``
+(``bloom.go:241-260``); associativity + commutativity of every sketch's
+merge makes the tree shape (and the partition count) semantically
+irrelevant — tested by building at 2/8/32 partitions and comparing
+bitsets.
+
+Scale notes (100 TB / 1000 executors):
+* partials are O(sketch_size) per partition regardless of row count; the
+  only full-data pass is the scan itself, which stays in the JVM until the
+  Arrow hand-off of the single projected column;
+* the merge tree bounds driver inbound data to fanin × sketch_size — with
+  the default fanin=64 and 3.6 MB bloom payloads that is ~230 MB worst
+  case at one level for 4096 partitions, and two levels cover 262k
+  partitions;
+* AQE may coalesce the tiny merge shuffles; that's fine and desired.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sketch.base import MergeableSketch, merge_serialized, sketch_from_bytes
+
+SKETCH_ROW_SCHEMA = (
+    "part_id bigint, sketch binary, rows bigint, build_ms double"
+)
+
+
+def _is_numeric_arrow(arr_type: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(arr_type)
+        or pa.types.is_floating(arr_type)
+        or pa.types.is_decimal(arr_type)
+    )
+
+
+def _update_sketch_from_arrow(sk: MergeableSketch, arr) -> None:
+    """Dispatch an Arrow array to the sketch's vectorized update path."""
+    t = arr.type
+    if _is_numeric_arrow(t):
+        sk.update_arrow(arr)  # numeric sketches (tdigest/kll) handle this
+    elif pa.types.is_timestamp(t):
+        sk.update_arrow(arr.cast(pa.int64()))
+    else:
+        sk.update_arrow(arr)
+
+
+def partial_sketches(
+    df: DataFrame, col: str, factory: Callable[[], MergeableSketch]
+) -> DataFrame:
+    """One serialized sketch row per input partition (the partial step)."""
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        sk = factory()
+        rows = 0
+        for batch in batches:
+            arr = batch.column(0)
+            rows += len(arr)
+            if len(arr):
+                _update_sketch_from_arrow(sk, arr)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        yield pa.RecordBatch.from_pydict(
+            {
+                "part_id": pa.array([pid], pa.int64()),
+                "sketch": pa.array([sk.to_bytes()], pa.binary()),
+                "rows": pa.array([rows], pa.int64()),
+                "build_ms": pa.array(
+                    [(time.perf_counter() - t0) * 1000.0], pa.float64()
+                ),
+            }
+        )
+
+    return df.select(col).mapInArrow(fn, SKETCH_ROW_SCHEMA)
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    payload = merge_serialized(pdf["sketch"])
+    return pd.DataFrame(
+        {
+            "part_id": [int(pdf["part_id"].min())],
+            "sketch": [payload],
+            "rows": [int(pdf["rows"].sum())],
+            "build_ms": [float(pdf["build_ms"].sum())],
+        }
+    )
+
+
+def tree_merge(partials: DataFrame, n_partials: int, fanin: int = 64) -> DataFrame:
+    """Reduce sketch rows level by level; each task merges ≤ fanin sketches.
+
+    Returns a 1-row DataFrame with the fully merged sketch.
+    """
+    df = partials
+    n = max(1, n_partials)
+    while n > 1:
+        df = (
+            df.withColumn("part_id", (F.col("part_id") / fanin).cast("bigint"))
+            .groupBy("part_id")
+            .applyInPandas(_merge_group, SKETCH_ROW_SCHEMA)
+        )
+        n = (n + fanin - 1) // fanin
+    return df
+
+
+def build_sketch(
+    df: DataFrame,
+    col: str,
+    factory: Callable[[], MergeableSketch],
+    fanin: int = 64,
+) -> MergeableSketch:
+    """Scan → partial → tree merge → driver sketch (the full lifecycle)."""
+    partials = partial_sketches(df, col, factory)
+    n = df.rdd.getNumPartitions()
+    merged = tree_merge(partials, n, fanin=fanin)
+    rows = merged.collect()
+    if not rows:
+        return factory()
+    acc = sketch_from_bytes(rows[0]["sketch"])
+    for r in rows[1:]:  # defensive: tree_merge should leave exactly one row
+        acc = acc.merge(sketch_from_bytes(r["sketch"]))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# grouped (per-key) sketches with explicit salt for skewed keys
+# ---------------------------------------------------------------------------
+
+
+def build_grouped_sketches(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    factory: Callable[[], MergeableSketch],
+    salt: int = 0,
+) -> DataFrame:
+    """Per-key sketches: DataFrame[key string, sketch binary, rows bigint].
+
+    Skew handling (north rule): hot keys (e.g. a conversation with 10^6
+    turns) would funnel into one task under a plain groupBy. With
+    ``salt=S`` the build is two-phase: phase 1 groups on
+    (key, xxhash64(val) % S) so a hot key's rows spread over S tasks;
+    phase 2 merges the ≤ S per-salt sketches per key. Mergeability makes
+    salting *exact*, not approximate (SURVEY.md §4.2). The salt is
+    deterministic (a hash of the value, never rand()) so reruns are
+    byte-stable.
+    """
+    out_schema = "key string, sketch binary, rows bigint"
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = factory()
+        vals = pdf[val_col]
+        if pd.api.types.is_numeric_dtype(vals):
+            sk.update_array(vals.to_numpy(dtype="float64", na_value=np.nan))
+        else:
+            sk.update_arrow(pa.Array.from_pandas(vals.astype("string").fillna("")))
+        return pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "sketch": [sk.to_bytes()],
+                "rows": [len(pdf)],
+            }
+        )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "sketch": [merge_serialized(pdf["sketch"])],
+                "rows": [int(pdf["rows"].sum())],
+            }
+        )
+
+    base = df.select(F.col(key_col).cast("string").alias(key_col), val_col)
+    if salt and salt > 1:
+        salted = base.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(val_col)), F.lit(salt))
+        )
+        phase1 = salted.groupBy(key_col, "_salt").applyInPandas(
+            build_group, out_schema
+        )
+        return phase1.groupBy("key").applyInPandas(merge_group, out_schema)
+    return base.groupBy(key_col).applyInPandas(build_group, out_schema)
+
+
+def grouped_estimate(
+    sketches: DataFrame, estimator: Callable[[MergeableSketch], float]
+) -> DataFrame:
+    """Map DataFrame[key, sketch] → DataFrame[key, estimate double]."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ests = [estimator(sketch_from_bytes(b)) for b in pdf["sketch"]]
+        return pd.DataFrame({"key": pdf["key"], "estimate": ests})
+
+    return sketches.groupBy("key").applyInPandas(fn, "key string, estimate double")

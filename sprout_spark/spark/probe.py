@@ -1,0 +1,96 @@
+"""Broadcast-sketch probe column functions (the ``Contains`` side).
+
+The distributed analog of the reference's ``Contains``/bloom-gated ``Get``
+(``bloom.go:200-217``, ``bloom.go:220-236``): the merged sketch is tiny
+(~3.6 MB for a 2M-key ε=0.001 bloom), so it broadcasts to every executor
+once and probes run as Arrow-batched pandas UDFs — never per-row Python.
+
+``bloom_semi_join`` is the library-level form of the reference's
+bloom-before-store lookup elision (its KV ``Get`` short-circuit,
+bloom.go:225-227): prune the big side with ``might_contain`` before the
+real join. Zero false negatives guarantee no lost matches; false
+positives only cost a little extra join input. (Spark's own AQE runtime
+bloom join, ``spark.sql.optimizer.runtime.bloomFilter.enabled``, is the
+built-in prior art — this version works from any pre-built sketch,
+including ones persisted from a previous job.)
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+from ..sketch.base import MergeableSketch, sketch_from_bytes
+
+
+@lru_cache(maxsize=8)
+def _revive(payload: bytes) -> MergeableSketch:
+    return sketch_from_bytes(payload)
+
+
+def _to_arrow(s: pd.Series) -> pa.Array:
+    if pd.api.types.is_integer_dtype(s):
+        return pa.Array.from_pandas(s, type=pa.int64())
+    return pa.Array.from_pandas(s.astype("string").fillna(""))
+
+
+def might_contain(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
+    """Boolean column: sketch membership probe (no false negatives)."""
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf(BooleanType())
+    def probe(s: pd.Series) -> pd.Series:
+        sk = _revive(bc.value)
+        return pd.Series(sk.contains_arrow(_to_arrow(s)))
+
+    return probe(col)
+
+
+def cms_estimate(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
+    """Long column: count-min frequency estimate per value."""
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf(LongType())
+    def est(s: pd.Series) -> pd.Series:
+        sk = _revive(bc.value)
+        return pd.Series(sk.estimate_arrow(_to_arrow(s)).astype("int64"))
+
+    return est(col)
+
+
+def quantile_rank(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
+    """Double column: approximate rank fraction of each value
+    (t-digest ``cdf`` / KLL ``rank``)."""
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf(DoubleType())
+    def rank(s: pd.Series) -> pd.Series:
+        sk = _revive(bc.value)
+        vals = s.astype("float64").to_numpy()
+        if hasattr(sk, "cdf"):
+            return pd.Series(sk.cdf(vals))
+        return pd.Series(sk.rank(vals))
+
+    return rank(col)
+
+
+def bloom_semi_join(
+    spark: SparkSession,
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    sketch: MergeableSketch,
+) -> DataFrame:
+    """Exact left-semi join, bloom-pruned: filter ``big`` by
+    ``might_contain(big_key)`` (cheap, broadcast, no shuffle of misses)
+    then confirm with the real semi join so false positives drop out."""
+    pruned = big.where(might_contain(spark, sketch, F.col(big_key)))
+    return pruned.join(
+        small, on=pruned[big_key] == small[small_key], how="left_semi"
+    )

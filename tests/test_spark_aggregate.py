@@ -1,0 +1,206 @@
+"""Distributed E2E tests (SURVEY.md §5.2 item 5): build at several
+parallelism levels → identical sketches; probe recall/FPR through Spark;
+grouped + salted builds."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sprout_spark.sketch import (
+    KLL,
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    ScalableBloomFilter,
+    TDigest,
+    sketch_from_bytes,
+)
+from sprout_spark.spark.aggregate import (
+    build_grouped_sketches,
+    build_sketch,
+    grouped_estimate,
+    partial_sketches,
+    tree_merge,
+)
+from sprout_spark.spark.probe import bloom_semi_join, cms_estimate, might_contain
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, transcripts_path):
+    return spark.read.parquet(transcripts_path)
+
+
+def test_bloom_build_parallelism_invariant(spark, transcripts):
+    """Merged bloom bitset must be identical at 2, 8, 32 partitions."""
+    n = transcripts.count()
+    bitsets = []
+    for parts in (2, 8, 32):
+        df = transcripts.repartition(parts)
+        bf = build_sketch(df, "conv_id", lambda: BloomFilter(n + 10, 0.001), fanin=4)
+        assert isinstance(bf, BloomFilter)
+        assert bf.count == n
+        bitsets.append(bf.bits)
+    assert (bitsets[0] == bitsets[1]).all()
+    assert (bitsets[1] == bitsets[2]).all()
+
+
+def test_bloom_probe_recall_and_fpr(spark, transcripts):
+    n = transcripts.count()
+    bf = build_sketch(transcripts, "conv_id", lambda: BloomFilter(n + 10, 0.01))
+    # recall: every stored conv_id probes true
+    probed = transcripts.select(
+        might_contain(spark, bf, F.col("conv_id")).alias("seen")
+    )
+    assert probed.where(~F.col("seen")).count() == 0
+    # FPR: absent ids probe mostly false
+    absent = spark.range(20000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("conv_id")
+    )
+    fp = absent.where(might_contain(spark, bf, F.col("conv_id"))).count()
+    assert fp / 20000 <= 0.01 + 1.96 * math.sqrt(0.01 * 0.99 / 20000)
+
+
+def test_sbf_distributed_build(spark, transcripts):
+    sbf = build_sketch(
+        transcripts.repartition(8),
+        "conv_id",
+        lambda: ScalableBloomFilter(
+            500, 0.01 / 8, merge_mode="concat", strict=True
+        ),
+        fanin=4,
+    )
+    assert isinstance(sbf, ScalableBloomFilter)
+    assert sbf.count() == transcripts.count()
+    stored = [r["conv_id"] for r in transcripts.select("conv_id").distinct().collect()]
+    assert sbf.contains_values(stored).all()
+    assert sbf.prob() <= 0.01
+
+
+def test_hll_distributed_matches_exact(spark, transcripts):
+    hll = build_sketch(
+        transcripts.repartition(16), "conv_id", lambda: HyperLogLog(p=14), fanin=4
+    )
+    exact = transcripts.select("conv_id").distinct().count()
+    assert abs(hll.estimate() - exact) / exact <= 3 * 1.04 / math.sqrt(1 << 14)
+    # parallelism invariance of registers
+    hll2 = build_sketch(transcripts.repartition(3), "conv_id", lambda: HyperLogLog(p=14))
+    assert (hll.registers == hll2.registers).all()
+
+
+def test_cms_distributed_bounds(spark, transcripts):
+    tool_rows = transcripts.where(F.col("tool") != "")
+    cms = build_sketch(tool_rows.repartition(8), "tool", lambda: CountMinSketch(0.001, 0.01))
+    exact = dict(
+        (r["tool"], r["cnt"])
+        for r in tool_rows.groupBy("tool").agg(F.count("*").alias("cnt")).collect()
+    )
+    n = sum(exact.values())
+    assert cms.total == n
+    for tool, cnt in exact.items():
+        est = cms.estimate(tool)
+        assert cnt <= est <= cnt + cms.eps * n
+    # probe column form
+    est_col = tool_rows.select(
+        "tool", cms_estimate(spark, cms, F.col("tool")).alias("est")
+    ).distinct()
+    for r in est_col.collect():
+        assert r["est"] >= exact[r["tool"]]
+
+
+def test_quantile_sketches_distributed(spark, transcripts):
+    lens = transcripts.select(F.length("text").cast("double").alias("len"))
+    exact = np.array([r["len"] for r in lens.collect()])
+    s = np.sort(exact)
+
+    td = build_sketch(lens.repartition(8), "len", lambda: TDigest(200), fanin=4)
+    kll = build_sketch(lens.repartition(8), "len", lambda: KLL(200), fanin=4)
+    assert td.count == len(exact) and kll.n == len(exact)
+    for q in [0.05, 0.5, 0.95]:
+        for est in (td.quantile(q), kll.quantile(q)):
+            rank = np.searchsorted(s, est, side="right") / len(s)
+            assert abs(rank - q) <= 0.03, (q, est)
+
+
+def test_tree_merge_multilevel(spark, transcripts):
+    # fanin=2 over 32 partitions → 5 merge levels
+    df = transcripts.repartition(32)
+    n = transcripts.count()
+    partials = partial_sketches(df, "conv_id", lambda: BloomFilter(n + 10, 0.01))
+    merged = tree_merge(partials, 32, fanin=2)
+    rows = merged.collect()
+    assert len(rows) == 1
+    bf = sketch_from_bytes(rows[0]["sketch"])
+    assert bf.count == n
+    assert rows[0]["rows"] == n
+
+
+def test_bloom_semi_join_exact(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_orders = orders.count()
+    bf = build_sketch(orders, "o_custkey", lambda: BloomFilter(n_orders + 10, 0.01))
+    got = bloom_semi_join(spark, customer, "c_custkey", orders, "o_custkey", bf)
+    exact = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    )
+    assert sorted(r["c_custkey"] for r in got.select("c_custkey").collect()) == sorted(
+        r["c_custkey"] for r in exact.select("c_custkey").collect()
+    )
+
+
+def test_grouped_salted_sketches(spark, transcripts):
+    # per-tool HLL of distinct conv_ids, salted 8 ways; salting must not
+    # change results (mergeability makes it exact)
+    tool_rows = transcripts.where(F.col("tool") != "")
+    plain = build_grouped_sketches(
+        tool_rows, "tool", "conv_id", lambda: HyperLogLog(p=12), salt=0
+    )
+    salted = build_grouped_sketches(
+        tool_rows, "tool", "conv_id", lambda: HyperLogLog(p=12), salt=8
+    )
+    e1 = {
+        r["key"]: r["estimate"]
+        for r in grouped_estimate(plain, lambda s: s.estimate()).collect()
+    }
+    e2 = {
+        r["key"]: r["estimate"]
+        for r in grouped_estimate(salted, lambda s: s.estimate()).collect()
+    }
+    assert e1 == e2
+    exact = {
+        r["tool"]: r["cnt"]
+        for r in tool_rows.groupBy("tool")
+        .agg(F.countDistinct("conv_id").alias("cnt"))
+        .collect()
+    }
+    for tool, cnt in exact.items():
+        assert abs(e1[tool] - cnt) / max(cnt, 1) <= max(
+            3 * 1.04 / math.sqrt(1 << 12), 0.05
+        )
+
+
+def test_grouped_quantile_sketches(spark, transcripts):
+    lens = transcripts.select("role", F.length("text").cast("double").alias("len"))
+    g = build_grouped_sketches(lens, "role", "len", lambda: TDigest(100), salt=4)
+    med = {
+        r["key"]: r["estimate"]
+        for r in grouped_estimate(g, lambda s: s.quantile(0.5)).collect()
+    }
+    exact = {
+        r["role"]: r["m"]
+        for r in lens.groupBy("role")
+        .agg(F.expr("percentile(len, 0.5)").alias("m"))
+        .collect()
+    }
+    for role in exact:
+        lo, hi = (
+            lens.where(F.col("role") == role)
+            .agg(
+                F.expr("percentile(len, 0.45)").alias("lo"),
+                F.expr("percentile(len, 0.55)").alias("hi"),
+            )
+            .collect()[0]
+        )
+        assert lo <= med[role] <= hi, role
