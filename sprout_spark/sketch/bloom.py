@@ -58,10 +58,26 @@ def bloom_geometry(capacity: int, err_rate: float) -> dict:
 class BloomFilter(MergeableSketch):
     TYPE = "bloom"
 
-    def __init__(self, capacity: int = 10000, err_rate: float = 0.001):
+    def __init__(
+        self, capacity: int = 10000, err_rate: float = 0.001, hash_mode: str = "km"
+    ):
+        """``hash_mode``:
+
+        * ``"km"`` (default) — Kirsch–Mitzenmacher double hashing: slice
+          *i* uses ``h1 + i*h2`` from two seeded murmur3 passes. Same
+          sliced layout and (asymptotically, and empirically per the FPR
+          tests) the same false-positive guarantee as k independent
+          hashes, at 2 hash passes instead of k — the hot-loop win the
+          SURVEY.md §1.4 note anticipates.
+        * ``"seeded"`` — reference-parity: k independent murmur3 calls
+          with the reference's seed schedule (bloom.go:297-313).
+        """
+        if hash_mode not in ("km", "seeded"):
+            raise ValueError("hash_mode must be 'km' or 'seeded'")
         geo = bloom_geometry(capacity, err_rate)
         self.capacity = int(capacity)
         self.err_rate = float(err_rate)
+        self.hash_mode = hash_mode
         self.k = geo["k"]
         self.m = geo["m"]
         self.seeds = geo["seeds"]
@@ -75,17 +91,29 @@ class BloomFilter(MergeableSketch):
             isinstance(other, BloomFilter)
             and self.k == other.k
             and self.m == other.m
+            and self.hash_mode == other.hash_mode
             and len(self.bits) == len(other.bits)
         )
 
     # -- indices -----------------------------------------------------------
     def _indices(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
-        """(k, n) flat bit indices: i*m + murmur3(key, seed_i) % m."""
+        """(k, n) flat bit indices: i*m + g_i(key) % m."""
         m = np.uint64(self.m)
-        out = np.empty((self.k, len(lens)), dtype=np.uint64)
-        for i in range(self.k):
-            h = murmur3_64_packed(mat, lens, self.seeds[i])
-            out[i] = np.uint64(i) * m + (h % m)
+        n = len(lens)
+        out = np.empty((self.k, n), dtype=np.uint64)
+        if self.hash_mode == "km":
+            h1 = murmur3_64_packed(mat, lens, self.seeds[0])
+            h2 = murmur3_64_packed(
+                mat, lens, self.seeds[1] if self.k > 1 else np.uint64(256)
+            )
+            g = h1.copy()
+            for i in range(self.k):
+                out[i] = np.uint64(i) * m + (g % m)
+                g += h2
+        else:
+            for i in range(self.k):
+                h = murmur3_64_packed(mat, lens, self.seeds[i])
+                out[i] = np.uint64(i) * m + (h % m)
         return out
 
     # -- partial build -----------------------------------------------------
@@ -95,10 +123,21 @@ class BloomFilter(MergeableSketch):
                 f"Filter capacity reached: count={self.count} + {n} > "
                 f"capacity={self.capacity}"
             )
-        # scatter all k*n bits at once: bool staging buffer -> packbits OR
-        stage = np.zeros(len(self.bits) * 8, dtype=bool)
-        stage[idx.ravel()] = True
-        self.bits |= np.packbits(stage, bitorder="little")
+        flat = idx.ravel()
+        if flat.size * 32 < self.nbits:
+            # sparse batch vs a wide bitset: scatter-OR the touched bytes
+            # only (duplicate-safe), avoiding a full-size staging buffer
+            np.bitwise_or.at(
+                self.bits,
+                (flat >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8),
+            )
+        else:
+            # dense batch: one bool staging pass + packbits is faster than
+            # millions of scattered single-byte ORs
+            stage = np.zeros(len(self.bits) * 8, dtype=bool)
+            stage[flat] = True
+            self.bits |= np.packbits(stage, bitorder="little")
         self.count += n
 
     def add_packed(
@@ -190,6 +229,7 @@ class BloomFilter(MergeableSketch):
             "capacity": self.capacity,
             "err_rate": self.err_rate,
             "count": self.count,
+            "hash_mode": self.hash_mode,
         }
 
     def _payload(self) -> bytes:
@@ -197,7 +237,7 @@ class BloomFilter(MergeableSketch):
 
     @classmethod
     def _from_parts(cls, meta: dict, payload: bytes) -> "BloomFilter":
-        bf = cls(meta["capacity"], meta["err_rate"])
+        bf = cls(meta["capacity"], meta["err_rate"], meta.get("hash_mode", "km"))
         bits = np.frombuffer(payload, dtype=np.uint8)
         if len(bits) != len(bf.bits):
             raise ValueError("payload size does not match geometry")

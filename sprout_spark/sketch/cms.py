@@ -26,16 +26,38 @@ _U64 = np.uint64
 class CountMinSketch(MergeableSketch):
     TYPE = "cms"
 
-    def __init__(self, eps: float = 0.0001, delta: float = 0.01):
+    def __init__(self, eps: float = 0.0001, delta: float = 0.01, hash_mode: str = "km"):
         if not (0 < eps < 1) or not (0 < delta < 1):
             raise ValueError("eps and delta must be in (0, 1)")
+        if hash_mode not in ("km", "seeded"):
+            raise ValueError("hash_mode must be 'km' or 'seeded'")
         self.eps = float(eps)
         self.delta = float(delta)
+        self.hash_mode = hash_mode
         self.w = int(math.ceil(math.e / eps))
         self.d = int(math.ceil(math.log(1.0 / delta)))
-        self.seeds = np.array([64 << (j + 1) for j in range(self.d)], dtype=np.uint64)
+        self.seeds = np.array([64 << (j + 1) for j in range(max(self.d, 2))], dtype=np.uint64)
         self.counts = np.zeros((self.d, self.w), dtype=np.int64)
         self.total = 0  # N: total added weight
+
+    def _cols(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """(d, n) column indices; km mode = 2 murmur passes + affine."""
+        w64 = _U64(self.w)
+        n = len(lens)
+        out = np.empty((self.d, n), dtype=np.int64)
+        if self.hash_mode == "km":
+            h1 = murmur3_64_packed(mat, lens, self.seeds[0])
+            h2 = murmur3_64_packed(mat, lens, self.seeds[1])
+            g = h1.copy()
+            for j in range(self.d):
+                out[j] = (g % w64).astype(np.int64)
+                g += h2
+        else:
+            for j in range(self.d):
+                out[j] = (murmur3_64_packed(mat, lens, self.seeds[j]) % w64).astype(
+                    np.int64
+                )
+        return out
 
     # -- partial --------------------------------------------------------------
     def add_packed(
@@ -48,10 +70,9 @@ class CountMinSketch(MergeableSketch):
             weights = np.ones(n, dtype=np.int64)
         else:
             weights = np.asarray(weights, dtype=np.int64)
-        w64 = _U64(self.w)
+        cols = self._cols(mat, lens)
         for j in range(self.d):
-            col = (murmur3_64_packed(mat, lens, self.seeds[j]) % w64).astype(np.int64)
-            np.add.at(self.counts[j], col, weights)
+            np.add.at(self.counts[j], cols[j], weights)
         self.total += int(weights.sum())
 
     def update_arrow(self, arr, weights=None) -> None:
@@ -68,6 +89,7 @@ class CountMinSketch(MergeableSketch):
             not isinstance(other, CountMinSketch)
             or other.w != self.w
             or other.d != self.d
+            or other.hash_mode != self.hash_mode
         ):
             raise ValueError("cannot merge CMS with different geometry")
         self.counts += other.counts
@@ -79,11 +101,10 @@ class CountMinSketch(MergeableSketch):
         n = len(lens)
         if n == 0:
             return np.zeros(0, dtype=np.int64)
-        w64 = _U64(self.w)
+        cols = self._cols(mat, lens)
         est = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
         for j in range(self.d):
-            col = (murmur3_64_packed(mat, lens, self.seeds[j]) % w64).astype(np.int64)
-            np.minimum(est, self.counts[j, col], out=est)
+            np.minimum(est, self.counts[j, cols[j]], out=est)
         return est
 
     def estimate_values(self, values) -> np.ndarray:
@@ -121,14 +142,19 @@ class CountMinSketch(MergeableSketch):
 
     # -- wire format -------------------------------------------------------------------
     def _meta(self) -> dict:
-        return {"eps": self.eps, "delta": self.delta, "total": self.total}
+        return {
+            "eps": self.eps,
+            "delta": self.delta,
+            "total": self.total,
+            "hash_mode": self.hash_mode,
+        }
 
     def _payload(self) -> bytes:
         return self.counts.tobytes()
 
     @classmethod
     def _from_parts(cls, meta: dict, payload: bytes) -> "CountMinSketch":
-        c = cls(meta["eps"], meta["delta"])
+        c = cls(meta["eps"], meta["delta"], meta.get("hash_mode", "km"))
         counts = np.frombuffer(payload, dtype=np.int64)
         if len(counts) != c.d * c.w:
             raise ValueError("payload size does not match geometry")

@@ -150,6 +150,85 @@ def build_sketch(
 
 
 # ---------------------------------------------------------------------------
+# one-pass multi-sketch build: scan once, build every sketch
+# ---------------------------------------------------------------------------
+
+
+MULTI_ROW_SCHEMA = (
+    "name string, part_id bigint, sketch binary, rows bigint, build_ms double"
+)
+
+
+def build_sketches(
+    df: DataFrame,
+    specs: dict[str, tuple[str, Callable[[], MergeableSketch]]],
+    fanin: int = 64,
+) -> dict[str, MergeableSketch]:
+    """Build several sketches in ONE scan: ``specs`` maps sketch name →
+    (column, factory). At 100 TB the scan dominates, so folding the whole
+    sketch suite (membership + distinct + frequencies + quantiles) into a
+    single pass is the difference between one and five full-table reads.
+    Only the union of referenced columns crosses the JVM→Arrow boundary.
+    """
+    cols = sorted({c for c, _ in specs.values()})
+    col_pos = {c: i for i, c in enumerate(cols)}
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        sks = {name: factory() for name, (_, factory) in specs.items()}
+        rows = 0
+        for batch in batches:
+            rows += batch.num_rows
+            if batch.num_rows == 0:
+                continue
+            for name, (c, _) in specs.items():
+                _update_sketch_from_arrow(sks[name], batch.column(col_pos[c]))
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        ms = (time.perf_counter() - t0) * 1000.0
+        names = list(sks)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "name": pa.array(names, pa.string()),
+                "part_id": pa.array([pid] * len(names), pa.int64()),
+                "sketch": pa.array(
+                    [sks[n].to_bytes() for n in names], pa.binary()
+                ),
+                "rows": pa.array([rows] * len(names), pa.int64()),
+                "build_ms": pa.array([ms] * len(names), pa.float64()),
+            }
+        )
+
+    partials = df.select(*cols).mapInArrow(fn, MULTI_ROW_SCHEMA)
+    n = max(1, df.rdd.getNumPartitions())
+
+    def merge_named(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _merge_group(pdf)
+        out.insert(0, "name", [pdf["name"].iloc[0]])
+        return out
+
+    merged = partials
+    remaining = n
+    while remaining > 1:
+        merged = (
+            merged.withColumn("part_id", (F.col("part_id") / fanin).cast("bigint"))
+            .groupBy("name", "part_id")
+            .applyInPandas(merge_named, MULTI_ROW_SCHEMA)
+        )
+        remaining = (remaining + fanin - 1) // fanin
+
+    out: dict[str, MergeableSketch] = {}
+    for r in merged.collect():
+        sk = sketch_from_bytes(r["sketch"])
+        out[r["name"]] = (
+            sk if r["name"] not in out else out[r["name"]].merge(sk)
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # grouped (per-key) sketches with explicit salt for skewed keys
 # ---------------------------------------------------------------------------
 
@@ -177,8 +256,11 @@ def build_grouped_sketches(
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory()
         vals = pdf[val_col]
-        if pd.api.types.is_numeric_dtype(vals):
+        if pd.api.types.is_numeric_dtype(vals) and hasattr(sk, "update_array"):
             sk.update_array(vals.to_numpy(dtype="float64", na_value=np.nan))
+        elif pd.api.types.is_integer_dtype(vals):
+            # canonical LE-int64 key encoding (see hashing.pack_arrow)
+            sk.update_arrow(pa.Array.from_pandas(vals, type=pa.int64()))
         else:
             sk.update_arrow(pa.Array.from_pandas(vals.astype("string").fillna("")))
         return pd.DataFrame(

@@ -78,11 +78,12 @@ def test_add_past_capacity_errors():
         bf.add("one-more")
 
 
-def test_observed_fpr_within_bound():
+@pytest.mark.parametrize("hash_mode", ["km", "seeded"])
+def test_observed_fpr_within_bound(hash_mode):
     # SURVEY.md §5.2 item 3: insert capacity keys, probe disjoint keys
     for err in (0.01, 0.001):
         cap = 20_000
-        bf = BloomFilter(cap, err)
+        bf = BloomFilter(cap, err, hash_mode=hash_mode)
         bf.update_values(keys("in", cap))
         probe = keys("out", 50_000)
         fp = int(bf.contains_values(probe).sum())
@@ -111,6 +112,10 @@ def test_merge_geometry_mismatch_errors():
     b = BloomFilter(2000, 0.01)
     with pytest.raises(ValueError):
         a.merge(b)
+    # hash-mode mismatch is a geometry mismatch too
+    c = BloomFilter(1000, 0.01, hash_mode="seeded")
+    with pytest.raises(ValueError):
+        a.merge(c)
 
 
 def test_merge_no_false_negatives_and_counts():
@@ -125,12 +130,13 @@ def test_merge_no_false_negatives_and_counts():
     assert a.contains_values(ka + kb).all()
 
 
-def test_merge_commutative_associative_bitwise():
+@pytest.mark.parametrize("hash_mode", ["km", "seeded"])
+def test_merge_commutative_associative_bitwise(hash_mode):
     ks = keys("m", 9000)
     parts = [ks[0:3000], ks[3000:6000], ks[6000:9000]]
 
     def build(part):
-        bf = BloomFilter(10_000, 0.01)
+        bf = BloomFilter(10_000, 0.01, hash_mode=hash_mode)
         bf.update_values(part)
         return bf
 
