@@ -1,0 +1,310 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+* **exact** — hash-groupBy on the text (or any column set). One shuffle on
+  a 64-bit key; at 100 TB use ``xxhash64(text)`` as the grouping key so the
+  shuffle moves 8-byte keys, not documents.
+* **MinHash + LSH** — shingle → minhash signature → band buckets →
+  bucket-join candidates → exact-Jaccard verify. The signature build is a
+  single ``mapInArrow`` pass (vectorized numpy; one murmur3 pass over all
+  tokens then ``n_hashes`` affine transforms + segmented min — the
+  standard universal-hash family, NOT ``n_hashes`` rehashes of the text).
+  The only shuffle is on (band, band_hash) — tiny rows.
+* **SimHash** — 64-bit signature; candidates share a 16-bit band; verify
+  by Hamming distance, all JVM-side (``bit_count(a ^ b)``).
+* **n-gram / token Jaccard** — exact pairwise similarity via an inverted
+  index join (explode tokens → join on token → count intersections).
+  Quadratic in the worst case; it is the *oracle* for the LSH path and
+  the right tool only for small candidate sets.
+
+MinHash is itself a mergeable sketch family (min is associative +
+commutative) — the same property the whole library is built on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..hashing import murmur3_64_packed, pack_arrow
+
+# deterministic universal-hash family for minhash: g_i(h) = a_i*h + b_i
+_MINHASH_SEED = 0x5EED
+_MAX_HASHES = 512
+_rng = np.random.RandomState(_MINHASH_SEED)
+_A = (_rng.randint(1, 2**62, _MAX_HASHES).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+_B = _rng.randint(0, 2**63, _MAX_HASHES).astype(np.uint64)
+
+
+def _tokenize_batch(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize an Arrow string array entirely in Arrow/numpy.
+
+    Returns (token_hashes uint64 flat, row_offsets int64 (n+1,)) where
+    tokens of row i occupy hashes[offsets[i]:offsets[i+1]].
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(pc.coalesce(arr, ""), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    mat, lens = pack_arrow(flat)
+    h = murmur3_64_packed(mat, lens, 0)
+    keep = lens > 0
+    if not keep.all():
+        # drop empty tokens (leading/trailing whitespace artifacts) and
+        # remap the per-row offsets accordingly
+        h = h[keep]
+        seg = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        kept_counts = np.bincount(seg[keep], minlength=len(counts))
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+    return h, offsets
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 128,
+    band_r: int = 4,
+) -> DataFrame:
+    """One ``mapInArrow`` pass: text → tokens → minhash signature → band
+    hashes. Output: (id bigint, band int, bh bigint) — one row per band.
+    """
+    if n_hashes > _MAX_HASHES:
+        raise ValueError(f"n_hashes must be <= {_MAX_HASHES}")
+    if n_hashes % band_r:
+        raise ValueError("band_r must divide n_hashes")
+    n_bands = n_hashes // band_r
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            arr = batch.column(1)
+            if len(ids) == 0:
+                continue
+            h, offsets = _tokenize_batch(arr)
+            n = len(ids)
+            sig = np.full((n, n_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
+            nonempty = np.diff(offsets) > 0
+            starts = offsets[:-1][nonempty]
+            if len(h) and nonempty.any():
+                for i in range(n_hashes):
+                    g = _A[i] * h + _B[i]
+                    sig[nonempty, i] = np.minimum.reduceat(g, starts)
+            # band hash: murmur over the r consecutive 8-byte lanes
+            band_mat = (
+                np.ascontiguousarray(sig)
+                .view(np.uint8)
+                .reshape(n * n_bands, band_r * 8)
+            )
+            lens = np.full(n * n_bands, band_r * 8, dtype=np.int64)
+            bh = murmur3_64_packed(band_mat, lens, 7).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                    "band": pa.array(
+                        np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                    ),
+                    "bh": pa.array(bh, pa.int64()),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t")
+    ).mapInArrow(fn, "id bigint, band int, bh bigint")
+
+
+def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
+    """Self-join within (band, bh) buckets → distinct candidate (a, b) pairs.
+
+    The join key is the 12-byte band row, so the shuffle is tiny no matter
+    how large the documents are. Skew note: a degenerate bucket (e.g. all
+    empty docs) would explode quadratically — callers should drop
+    empty/trivial docs first (near_dup_pairs does).
+    """
+    left = band_rows.alias("l")
+    right = band_rows.alias("r")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tokens array<string>) with distinct whitespace tokens (JVM)."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.array_remove(
+            F.array_distinct(F.split(F.col(text_col), r"\s+")), ""
+        ).alias("tokens"),
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, tokens: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs (array ops, JVM-side).
+
+    Broadcast-friendly: candidate pairs are few; the token arrays join by
+    id (shuffle on the 8-byte id only)."""
+    ta = tokens.select(F.col("id").alias("a"), F.col("tokens").alias("ta"))
+    tb = tokens.select(F.col("id").alias("b"), F.col("tokens").alias("tb"))
+    return (
+        candidates.join(ta, "a")
+        .join(tb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    band_r: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-verified: (a, b, jaccard).
+
+    With r=4, b=32 the detection probability at j=0.8 is
+    1-(1-0.8^4)^32 ≈ 1-5e-8; verification makes surviving pairs exact.
+    """
+    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    bands = minhash_band_rows(nonempty, id_col, text_col, n_hashes, band_r)
+    cands = lsh_candidate_pairs(bands)
+    toks = token_sets(nonempty, id_col, text_col)
+    return verify_jaccard(cands, toks, threshold)
+
+
+def exact_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs token Jaccard via inverted-index join (oracle for
+    the LSH path; O(sum of posting-list^2) — small data only)."""
+    toks = token_sets(df, id_col, text_col).where(F.size("tokens") > 0)
+    posting = toks.select("id", F.explode("tokens").alias("tok"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = toks.select("id", F.size("tokens").alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, dup_cols: list[str]) -> DataFrame:
+    """Exact dedup: keep the lowest id per duplicate group.
+
+    Scale note: group on xxhash64 of the columns so the shuffle key is 8
+    bytes; verify within group is implicit (hash collisions are 2^-64 —
+    acceptable for dedup; use the full columns as key if not)."""
+    return df.groupBy(*dup_cols).agg(
+        F.min(F.col(id_col)).alias(id_col), F.count("*").alias("n_copies")
+    ).select(id_col, "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash bigint): 64-bit SimHash over whitespace tokens,
+    vectorized (token hash bits vote ±1, sign of the per-bit sum)."""
+
+    def fn(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            h, offsets = _tokenize_batch(batch.column(1))
+            n = len(ids)
+            sig = np.zeros(n, dtype=np.uint64)
+            counts = np.diff(offsets)
+            nonempty = counts > 0
+            if len(h) and nonempty.any():
+                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+                votes = np.add.reduceat(2 * bits - 1, offsets[:-1][nonempty], axis=0)
+                bitvals = (votes > 0).astype(np.uint64)
+                sig[nonempty] = (bitvals << shifts).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "simhash": pa.array(sig.view(np.int64), pa.int64()),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t")
+    ).mapInArrow(fn, "id bigint, simhash bigint")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit
+    bands (pigeonhole: any pair within Hamming distance 3 shares at least
+    one intact band), verified with ``bit_count(a ^ b) <= max_hamming``
+    entirely JVM-side."""
+    if max_hamming > 3:
+        raise ValueError("4-band pigeonhole guarantees recall only up to 3")
+    sigs = simhash_signatures(df, id_col, text_col)
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "simhash", "e.band", "e.bh")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(r, ["band", "bh"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,211 @@
+"""Training-data pipeline operator tests: dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard), similarity search (brute-force + SRP-LSH),
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sprout_spark.functions.text import (
+    document_fingerprints,
+    language_id,
+    quality_score,
+    with_text_stats,
+)
+from sprout_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_band_rows,
+    near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from sprout_spark.operators.multimodal import (
+    extract_image_features,
+    repartition_by_bytes,
+    sample_video_frames,
+    synthesize_media,
+)
+from sprout_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+VOCAB = [f"w{i:03d}" for i in range(400)]
+
+
+def _doc(rng, n_tokens):
+    return " ".join(rng.choice(VOCAB, size=n_tokens))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted near-duplicates."""
+    rng = np.random.RandomState(42)
+    rows = []
+    for i in range(120):
+        rows.append((i, _doc(rng, 40)))
+    # planted near-dups: copy docs 0-9 with ~10% token perturbation
+    for j in range(10):
+        base = rows[j][1].split()
+        k = max(1, len(set(base)) // 12)
+        mutated = list(base)
+        for t in range(k):
+            mutated[(7 * t) % len(mutated)] = f"mut{j}_{t}"
+        rows.append((200 + j, " ".join(mutated)))
+    # planted exact dups of docs 10-12
+    for j in range(3):
+        rows.append((300 + j, rows[10 + j][1]))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", ["text"]).collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[10] == 2 and by_id[11] == 2 and by_id[12] == 2
+    assert 300 not in by_id  # duplicate collapsed onto the lowest id
+    assert sum(r["n_copies"] for r in out) == docs.count()
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    got = {
+        (r["a"], r["b"])
+        for r in near_dup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    want = {
+        (r["a"], r["b"])
+        for r in exact_jaccard_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert got == want
+    # the planted near-dups are found
+    for j in range(10):
+        assert (j, 200 + j) in got
+    # exact dups found at threshold 1.0
+    exact = {
+        (r["a"], r["b"])
+        for r in near_dup_pairs(docs, "doc_id", "text", threshold=1.0).collect()
+    }
+    assert {(10, 300), (11, 301), (12, 302)} <= exact
+
+
+def test_minhash_band_rows_shape(spark, docs):
+    bands = minhash_band_rows(docs, "doc_id", "text", n_hashes=64, band_r=4)
+    pdf = bands.toPandas()
+    assert set(pdf.columns) == {"id", "band", "bh"}
+    assert (pdf.groupby("id").size() == 16).all()  # 64/4 bands per doc
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert {(10, 300), (11, 301), (12, 302)} <= set(got)
+    for p in [(10, 300), (11, 301), (12, 302)]:
+        assert got[p] == 0  # identical text -> identical simhash
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(100, 32)).astype(np.float32)
+    # rows 0-4 get close neighbors at ids 100-104
+    rows = [(i, base[i].tolist()) for i in range(100)]
+    for j in range(5):
+        near = base[j] + rng.normal(scale=0.05, size=32).astype(np.float32)
+        rows.append((100 + j, near.tolist()))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, emb):
+    q = [r["embedding"] for r in emb.where("vec_id = 0").collect()][0]
+    top = cosine_topk(emb, "vec_id", "embedding", q, k=3).collect()
+    assert top[0]["id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["id"] == 100  # planted near neighbor
+    assert top[1]["cosine"] > 0.99
+
+
+def test_ann_lsh_recall(spark, emb):
+    hits = 0
+    for probe in range(5):
+        q = [r["embedding"] for r in emb.where(f"vec_id = {probe}").collect()][0]
+        exact = [r["id"] for r in cosine_topk(emb, "vec_id", "embedding", q, 3).collect()]
+        approx = [
+            r["id"]
+            for r in ann_lsh_topk(
+                emb, "vec_id", "embedding", q, k=3, n_planes=10, n_tables=8
+            ).collect()
+        ]
+        hits += len(set(exact[:2]) & set(approx))
+    assert hits >= 8  # >= 80% recall of the top-2 across probes
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    pairs = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=32, min_cosine=0.98
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert {(j, 100 + j) for j in range(5)} <= got
+
+
+def test_text_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World 42!"), (2, ""), (3, "   "), (4, "a b  c")],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r.asDict() for r in with_text_stats(df, "text").collect()}
+    assert got[1]["n_chars"] == 16
+    assert got[1]["n_ws_tokens"] == 3
+    assert got[1]["n_punct"] == 2  # ',' and '!'
+    assert got[1]["n_digits"] == 2
+    assert got[1]["n_upper"] == 2
+    assert got[2]["n_ws_tokens"] == 0 and got[3]["n_ws_tokens"] == 0
+    assert got[4]["n_ws_tokens"] == 3
+    q = {r["id"]: r["quality"] for r in quality_score(df, "text").collect()}
+    assert 0.0 <= q[1] <= 1.0 and q[2] == 0.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it was a good day for this"),
+            (2, "el gato es un animal que vive en la casa con su familia"),
+            (3, "le chat est dans la maison et les enfants sont pour une fête"),
+            (4, "der hund ist mit den kindern im garten und das ist gut"),
+            (5, "xyzzy plugh abcd efgh"),
+        ],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["lang_guess"] for r in language_id(df, "text").collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "fr" and got[4] == "de"
+    assert got[5] == "und"
+
+
+def test_document_fingerprints(spark, docs):
+    fps = document_fingerprints(docs, "doc_id", "text", gram=8, keep=4)
+    pdf = fps.toPandas()
+    assert (pdf.groupby("id").size() <= 4).all()
+    # identical docs share all fingerprints
+    a = set(pdf[pdf["id"] == 10]["fp"])
+    b = set(pdf[pdf["id"] == 300]["fp"])
+    assert a == b and len(a) == 4
+
+
+def test_multimodal_pipeline(spark):
+    media = synthesize_media(spark, n=60)
+    feats = extract_image_features(media).collect()
+    assert len(feats) == media.where("kind = 'image'").count()
+    for r in feats:
+        assert len(r["thumb"]) == 64
+        assert 0 <= r["mean"] <= 255
+    frames = sample_video_frames(media, every=2).collect()
+    assert len(frames) > 0
+    vids = {r["media_id"] for r in frames}
+    assert vids == {
+        r["media_id"] for r in media.where("kind = 'video'").collect()
+    }
+    # deterministic fake decode: rerun gives identical features
+    feats2 = extract_image_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    rep = repartition_by_bytes(media, target_bytes=4096)
+    assert rep.count() == media.count()
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media, decode="strict")
