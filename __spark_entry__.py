@@ -186,6 +186,113 @@ def q_tdigest_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text / similarity)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sprout_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", ["text"])
+
+
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at τ=0.9, exact-verified → equals the
+    exact all-pairs Jaccard result (LSH miss prob per pair at j=0.9 is
+    (1-0.9^4)^32 ≈ 1.5e-15 with r=4, b=32 — negligible even over 10^4
+    qualifying pairs)."""
+    from sprout_spark.operators.dedup import near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "doc_id", "text", threshold=0.9).select("a", "b")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs (inverted-index join)."""
+    from sprout_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, "doc_id", "text", 0.9).select("a", "b")
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: hamming≤3 has no SQL oracle)."""
+    from sprout_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).select(
+        "a", "b", "hamming"
+    )
+
+
+def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sprout_spark.functions.text import with_text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return with_text_stats(docs, "text").select(
+        "doc_id", "n_chars", "n_ws_tokens", "n_bpe_tokens", "n_punct", "n_digits",
+        "n_upper",
+    )
+
+
+def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (rows-only; heuristic has no SQL oracle)."""
+    from sprout_spark.functions.text import language_id
+
+    docs = load(spark, sf_dir, "documents")
+    return language_id(docs, "text").select("doc_id", "lang_guess")
+
+
+def q_fingerprint_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing a winnowing fingerprint (rows-only)."""
+    from sprout_spark.functions.text import document_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fps = document_fingerprints(docs, "doc_id", "text")
+    l, r = fps.alias("l"), fps.alias("r")
+    return (
+        l.join(r, "fp")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (exact)."""
+    from sprout_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk(emb, "vec_id", "embedding", [float(x) for x in q], k=10).select(
+        F.col("id").alias("vec_id")
+    )
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN vs brute force: top-1 must match, top-5 recall >= 0.6
+    (rows-only acceptance expressed as exact booleans)."""
+    from sprout_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = [float(x) for x in q]
+    exact = [r["id"] for r in cosine_topk(emb, "vec_id", "embedding", qv, 5).collect()]
+    approx = [
+        r["id"]
+        for r in ann_lsh_topk(
+            emb, "vec_id", "embedding", qv, k=5, n_planes=6, n_tables=24
+        ).collect()
+    ]
+    top1 = bool(exact and approx and exact[0] == approx[0])
+    recall5 = len(set(exact) & set(approx)) / 5.0
+    return spark.createDataFrame(
+        [(top1, bool(recall5 >= 0.6))], "top1_match boolean, recall5_ok boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -207,7 +314,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
+        "text_stats_documents": q_text_stats_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "fingerprint_shared": q_fingerprint_shared,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh_recall": q_ann_lsh_recall,
     }
+
+
+_JACCARD_PAIRS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM tok l JOIN tok r ON l.t = r.t AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b
+FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -238,5 +371,38 @@ def oracle_sql() -> dict[str, str]:
         "kll_value_quantiles": f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)",
         "tdigest_lineitem_price": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "exact_dedup_documents": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "minhash_near_dup_pairs": _JACCARD_PAIRS_SQL,
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        # simhash_dup_pairs / lang_id_documents / fingerprint_shared:
+        # intentionally no oracle (heuristics with no SQL equivalent);
+        # the driver records rows-only checks and pytest covers semantics.
+        "text_stats_documents": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) "
+            "AS n_punct, "
+            "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) "
+            "AS n_digits, "
+            "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
+            "AS n_upper "
+            "FROM documents"
+        ),
+        "ann_topk_cosine": (
+            "SELECT vec_id FROM ("
+            "  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "
+            "    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+            "  ) AS sim FROM embeddings"
+            ") ORDER BY sim DESC, vec_id LIMIT 10"
+        ),
+        "ann_lsh_recall": (
+            "SELECT true AS top1_match, true AS recall5_ok"
         ),
     }
