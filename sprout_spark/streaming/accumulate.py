@@ -1,0 +1,159 @@
+"""Structured Streaming sketch accumulation.
+
+Mergeability makes streaming trivial: a sketch is a commutative monoid,
+so a stream is just an endless sequence of partial builds merged into a
+running state. Two surfaces:
+
+* :func:`stream_sketch` — ``foreachBatch``: each micro-batch runs the
+  same partial→tree-merge pipeline as batch mode, then merges into the
+  running sketch and persists it (payload + watermark of processed
+  batches) under the checkpoint dir. Restart resumes from the last
+  persisted sketch; Structured Streaming's own checkpoint guarantees each
+  micro-batch is delivered once to ``foreachBatch`` per epoch id, and we
+  keep the epoch id with the payload so a replayed batch is skipped
+  (idempotent merge).
+* :func:`grouped_stream_sketches` — ``applyInPandasWithState``: per-key
+  running sketches (e.g. per-tool HLL) with the serialized sketch as the
+  state value — the custom stateful operator path for when per-key
+  results must flow downstream as a stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sketch.base import MergeableSketch, sketch_from_bytes
+from ..spark.aggregate import build_sketch
+
+
+class StreamingSketchAccumulator:
+    """Driver-side running sketch fed by foreachBatch (exactly-once via
+    epoch-id tracking)."""
+
+    def __init__(
+        self,
+        col: str,
+        factory: Callable[[], MergeableSketch],
+        state_dir: str,
+        fanin: int = 64,
+    ):
+        self.col = col
+        self.factory = factory
+        self.state_dir = state_dir
+        self.fanin = fanin
+        os.makedirs(state_dir, exist_ok=True)
+        self.sketch, self.last_epoch = self._load()
+
+    # -- persistence ---------------------------------------------------------
+    def _paths(self) -> tuple[str, str]:
+        return (
+            os.path.join(self.state_dir, "sketch.bin"),
+            os.path.join(self.state_dir, "state.json"),
+        )
+
+    def _load(self) -> tuple[MergeableSketch, int]:
+        sk_path, st_path = self._paths()
+        if os.path.exists(sk_path) and os.path.exists(st_path):
+            with open(st_path) as f:
+                st = json.load(f)
+            with open(sk_path, "rb") as f:
+                return sketch_from_bytes(f.read()), int(st["epoch"])
+        return self.factory(), -1
+
+    def _save(self, epoch_id: int) -> None:
+        sk_path, st_path = self._paths()
+        tmp = sk_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.sketch.to_bytes())
+        os.replace(tmp, sk_path)  # atomic: crash leaves the old state
+        with open(st_path + ".tmp", "w") as f:
+            json.dump({"epoch": epoch_id}, f)
+        os.replace(st_path + ".tmp", st_path)
+
+    # -- foreachBatch hook -----------------------------------------------------
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= self.last_epoch:
+            return  # replayed micro-batch after restart: already merged
+        partial = build_sketch(batch_df, self.col, self.factory, fanin=self.fanin)
+        self.sketch = self.sketch.merge(partial)
+        self.last_epoch = epoch_id
+        self._save(epoch_id)
+
+
+def stream_sketch(
+    stream_df: DataFrame,
+    col: str,
+    factory: Callable[[], MergeableSketch],
+    state_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    fanin: int = 64,
+):
+    """Start a streaming query that folds the stream into one sketch.
+
+    Returns (StreamingQuery, StreamingSketchAccumulator); read
+    ``acc.sketch`` after (or during) the run.
+    """
+    acc = StreamingSketchAccumulator(col, factory, state_dir, fanin)
+    writer = (
+        stream_df.writeStream.foreachBatch(acc)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start(), acc
+
+
+def grouped_stream_sketches(
+    stream_df: DataFrame,
+    key_col: str,
+    val_col: str,
+    factory: Callable[[], MergeableSketch],
+    estimator: Callable[[MergeableSketch], float],
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Per-key running sketches as a stateful streaming operator.
+
+    State = the serialized sketch (the wire format doubles as the state
+    encoding). Emits (key, estimate, rows) per updated key each batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key string, estimate double, rows bigint"
+    state_schema = "sketch binary, rows bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            sk_bytes, rows = state.get
+            sk = sketch_from_bytes(bytes(sk_bytes))
+        else:
+            sk, rows = factory(), 0
+        for pdf in pdf_iter:
+            vals = pdf[val_col]
+            rows += len(vals)
+            if pd.api.types.is_numeric_dtype(vals) and hasattr(sk, "update_array"):
+                sk.update_array(vals.to_numpy(dtype="float64"))
+            else:
+                sk.update_values([str(v) for v in vals])
+        state.update((bytearray(sk.to_bytes()), rows))
+        yield pd.DataFrame(
+            {"key": [key[0]], "estimate": [float(estimator(sk))], "rows": [rows]}
+        )
+
+    grouped = stream_df.select(
+        F.col(key_col).cast("string").alias("key"), F.col(val_col)
+    ).groupBy("key")
+    return grouped.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

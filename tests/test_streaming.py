@@ -1,0 +1,147 @@
+"""Structured Streaming sketch accumulation tests: streamed build must
+equal the batch build; restart resumes idempotently; per-key stateful
+sketches track exact answers."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sprout_spark.sketch import BloomFilter, HyperLogLog, sketch_from_bytes
+from sprout_spark.spark.aggregate import build_sketch
+from sprout_spark.streaming.accumulate import (
+    StreamingSketchAccumulator,
+    grouped_stream_sketches,
+    stream_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, transcripts_path, tmp_path_factory):
+    """Split the transcripts fixture into several files for a file stream."""
+    base = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    df = spark.read.parquet(transcripts_path)
+    df.repartition(6).write.parquet(base)
+    return base
+
+
+def test_stream_equals_batch(spark, transcripts_path, stream_dir, tmp_path):
+    batch = spark.read.parquet(transcripts_path)
+    n = batch.count()
+    factory = lambda: BloomFilter(n + 10, 0.01)
+    truth = build_sketch(batch, "conv_id", factory)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stream_dir)
+    )
+    q, acc = stream_sketch(
+        stream,
+        "conv_id",
+        factory,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    assert acc.sketch.count == n
+    assert (acc.sketch.bits == truth.bits).all()  # streamed == batch, bitwise
+    assert acc.last_epoch >= 1  # really ran multiple micro-batches
+
+
+def test_stream_restart_is_idempotent(spark, transcripts_path, stream_dir, tmp_path):
+    batch = spark.read.parquet(transcripts_path)
+    n = batch.count()
+    factory = lambda: BloomFilter(n + 10, 0.01)
+    state = str(tmp_path / "state2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stream_dir)
+    )
+    q, acc = stream_sketch(
+        stream, "conv_id", factory, state, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(300)
+    first_bits = acc.sketch.bits.copy()
+    first_count = acc.sketch.count
+
+    # restart over the same checkpoint: no new data -> no change; and a
+    # replayed epoch would be skipped by the epoch guard
+    q2, acc2 = stream_sketch(
+        stream, "conv_id", factory, state, ckpt, trigger={"availableNow": True}
+    )
+    q2.awaitTermination(300)
+    assert acc2.sketch.count == first_count == n
+    assert (acc2.sketch.bits == first_bits).all()
+
+
+def test_epoch_guard_skips_replay(spark, transcripts_path, tmp_path):
+    batch = spark.read.parquet(transcripts_path)
+    n = batch.count()
+    acc = StreamingSketchAccumulator(
+        "conv_id", lambda: BloomFilter(n + 10, 0.01), str(tmp_path / "state3")
+    )
+    acc(batch, 0)
+    count_after_first = acc.sketch.count
+    acc(batch, 0)  # replay of epoch 0 must be a no-op
+    assert acc.sketch.count == count_after_first == n
+    acc(batch, 1)  # a new epoch merges
+    assert acc.sketch.count == 2 * n
+    # reload from disk picks up the persisted state
+    acc2 = StreamingSketchAccumulator(
+        "conv_id", lambda: BloomFilter(n + 10, 0.01), str(tmp_path / "state3")
+    )
+    assert acc2.last_epoch == 1 and acc2.sketch.count == 2 * n
+
+
+def test_grouped_stream_sketches(spark, transcripts_path, stream_dir, tmp_path):
+    batch = spark.read.parquet(transcripts_path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(stream_dir)
+    )
+    out = grouped_stream_sketches(
+        stream.where(F.col("tool") != ""),
+        "tool",
+        "conv_id",
+        lambda: HyperLogLog(p=12),
+        lambda s: s.estimate(),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tool_distinct")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql(
+        "SELECT key, max(rows) AS rows, last(estimate) AS est "
+        "FROM tool_distinct GROUP BY key"
+    ).collect()
+    exact_rows = {
+        r["tool"]: r["cnt"]
+        for r in batch.where(F.col("tool") != "")
+        .groupBy("tool")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    exact_distinct = {
+        r["tool"]: r["d"]
+        for r in batch.where(F.col("tool") != "")
+        .groupBy("tool")
+        .agg(F.countDistinct("conv_id").alias("d"))
+        .collect()
+    }
+    got_rows = {r["key"]: r["rows"] for r in res}
+    assert got_rows == exact_rows  # every row reached exactly one state
+    for tool, d in exact_distinct.items():
+        est = [r["est"] for r in res if r["key"] == tool][0]
+        assert abs(est - d) / max(d, 1) <= max(3 * 1.04 / (1 << 6), 0.1)
