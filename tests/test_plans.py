@@ -1,0 +1,55 @@
+"""Physical-plan quality gates (the '.explain and iterate' requirement):
+column pruning and predicate pushdown must reach the parquet scan, and
+probe UDFs must be Arrow-vectorized, not row-at-a-time Python."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sprout_spark.sketch import BloomFilter
+from sprout_spark.spark.aggregate import build_sketch, partial_sketches
+from sprout_spark.spark.probe import might_contain
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_partial_build_prunes_columns(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    partials = partial_sketches(df, "conv_id", lambda: BloomFilter(1000, 0.01))
+    plan = plan_of(partials)
+    assert "ReadSchema: struct<conv_id:string>" in plan  # 1 of 6 columns read
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path).where(F.col("role") == "tool")
+    partials = partial_sketches(df, "tool", lambda: BloomFilter(1000, 0.01))
+    plan = plan_of(partials)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(role,tool)" in plan.replace(" ", "").replace("\n", "") or (
+        "IsNotNull(role)" in plan
+    )
+
+
+def test_probe_is_arrow_vectorized(spark, transcripts_path):
+    df = spark.read.parquet(transcripts_path)
+    bf = BloomFilter(20000, 0.01)
+    bf.update_values(["conv-00000000"])
+    probed = df.where(might_contain(spark, bf, F.col("conv_id")))
+    plan = plan_of(probed)
+    # pandas/Arrow eval, never row-at-a-time BatchEvalPython
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_whole_stage_codegen_on_jvm_path(spark, transcripts_path):
+    from sprout_spark.functions.text import with_text_stats
+
+    df = with_text_stats(spark.read.parquet(transcripts_path), "text")
+    plan = plan_of(df)
+    # '*' prefix marks whole-stage-codegen nodes in formatted explain
+    assert "* Project" in plan  # text stats stay JVM-side, codegen'd
+    assert "EvalPython" not in plan  # zero Python in this pipeline
