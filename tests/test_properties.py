@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis): hash equivalence and merge laws
+hold for arbitrary inputs, not just the fixture corpus."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sprout_spark.hashing import murmur3_64_batch, murmur3_64_scalar
+from sprout_spark.sketch import BloomFilter, CountMinSketch, HyperLogLog
+
+keys_strategy = st.lists(
+    st.binary(min_size=0, max_size=80), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(keys=keys_strategy, seed=st.integers(min_value=0, max_value=2**63 - 1))
+def test_batch_hash_equals_scalar(keys, seed):
+    batch = murmur3_64_batch(keys, seed)
+    for k, got in zip(keys, batch):
+        assert int(got) == murmur3_64_scalar(k, seed)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=0, max_size=40), min_size=2, max_size=60),
+    split=st.integers(min_value=1, max_value=59),
+)
+def test_bloom_merge_laws_hold(keys, split):
+    split = min(split, len(keys) - 1)
+    a_keys, b_keys = keys[:split], keys[split:]
+
+    def build(part):
+        bf = BloomFilter(1000, 0.01)
+        if part:
+            bf.update_values(part)
+        return bf
+
+    ab = build(a_keys).merge(build(b_keys))
+    ba = build(b_keys).merge(build(a_keys))
+    whole = build(keys)
+    assert (ab.bits == ba.bits).all()
+    assert (ab.bits == whole.bits).all()
+    assert ab.contains_values(keys).all()  # zero false negatives
+
+
+@settings(max_examples=30, deadline=None)
+@given(keys=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=50))
+def test_hll_merge_idempotent_and_monotone(keys):
+    h1 = HyperLogLog(p=8)
+    h1.update_values(keys)
+    h2 = HyperLogLog(p=8)
+    h2.update_values(keys)
+    merged = HyperLogLog(p=8).merge(h1).merge(h2)
+    assert (merged.registers == h1.registers).all()  # idempotent
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=50),
+)
+def test_cms_never_undercounts_property(keys):
+    c = CountMinSketch(eps=0.01, delta=0.05)
+    c.update_values(keys)
+    from collections import Counter
+
+    exact = Counter(keys)
+    for k, cnt in exact.items():
+        assert c.estimate(k) >= cnt
