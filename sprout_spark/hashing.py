@@ -147,15 +147,21 @@ def pack_keys(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.nda
         return np.zeros((0, 16), dtype=np.uint8), lens
     max_len = int(lens.max()) if n else 0
     w = max(16, ((max_len + 15) // 16) * 16)
-    mat = np.zeros((n, w), dtype=np.uint8)
+    mat = np.zeros(n * w, dtype=np.uint8)
     total = int(offsets[-1] - offsets[0])
     if total:
-        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-        pos = np.arange(total, dtype=np.int64) - np.repeat(
-            offsets[:-1] - offsets[0], lens
+        # flat scatter: target index of source byte d is
+        # row(d)*w + (d - start[row(d)]), built with one repeat;
+        # int32 indices halve the memory traffic of the index arrays
+        itype = np.int32 if n * w < 2**31 and total < 2**31 else np.int64
+        d = np.arange(total, dtype=itype)
+        d += np.repeat(
+            (np.arange(n, dtype=itype) * w).astype(itype)
+            - (offsets[:-1] - offsets[0]).astype(itype),
+            lens,
         )
-        mat[rows, pos] = data[offsets[0] : offsets[-1]]
-    return mat, lens
+        mat[d] = data[offsets[0] : offsets[-1]]
+    return mat.reshape(n, w), lens
 
 
 def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:

@@ -59,9 +59,20 @@ class BloomFilter(MergeableSketch):
     TYPE = "bloom"
 
     def __init__(
-        self, capacity: int = 10000, err_rate: float = 0.001, hash_mode: str = "km"
+        self,
+        capacity: int = 10000,
+        err_rate: float = 0.001,
+        hash_mode: str = "km",
+        enforce_capacity: bool = True,
     ):
-        """``hash_mode``:
+        """``enforce_capacity=False`` sizes the filter for an expected
+        DISTINCT-key count while tolerating repeated adds past ``count``
+        (membership streams re-see keys; saturation — and therefore the
+        FPR bound — depends on distinct insertions, not adds). The
+        reference's per-add capacity error (bloom.go:170-172, quirk Q6)
+        remains the default.
+
+        ``hash_mode``:
 
         * ``"km"`` (default) — Kirsch–Mitzenmacher double hashing: slice
           *i* uses ``h1 + i*h2`` from two seeded murmur3 passes. Same
@@ -78,6 +89,7 @@ class BloomFilter(MergeableSketch):
         self.capacity = int(capacity)
         self.err_rate = float(err_rate)
         self.hash_mode = hash_mode
+        self.enforce_capacity = bool(enforce_capacity)
         self.k = geo["k"]
         self.m = geo["m"]
         self.seeds = geo["seeds"]
@@ -141,11 +153,13 @@ class BloomFilter(MergeableSketch):
         self.count += n
 
     def add_packed(
-        self, mat: np.ndarray, lens: np.ndarray, enforce_capacity: bool = True
+        self, mat: np.ndarray, lens: np.ndarray, enforce_capacity: bool | None = None
     ) -> None:
         n = len(lens)
         if n == 0:
             return
+        if enforce_capacity is None:
+            enforce_capacity = self.enforce_capacity
         self._add_indices(self._indices(mat, lens), n, enforce_capacity)
 
     def update_arrow(self, arr) -> None:
@@ -230,6 +244,7 @@ class BloomFilter(MergeableSketch):
             "err_rate": self.err_rate,
             "count": self.count,
             "hash_mode": self.hash_mode,
+            "enforce_capacity": self.enforce_capacity,
         }
 
     def _payload(self) -> bytes:
@@ -237,7 +252,12 @@ class BloomFilter(MergeableSketch):
 
     @classmethod
     def _from_parts(cls, meta: dict, payload: bytes) -> "BloomFilter":
-        bf = cls(meta["capacity"], meta["err_rate"], meta.get("hash_mode", "km"))
+        bf = cls(
+            meta["capacity"],
+            meta["err_rate"],
+            meta.get("hash_mode", "km"),
+            meta.get("enforce_capacity", True),
+        )
         bits = np.frombuffer(payload, dtype=np.uint8)
         if len(bits) != len(bf.bits):
             raise ValueError("payload size does not match geometry")

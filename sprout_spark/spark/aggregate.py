@@ -113,6 +113,26 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _merge_group_arrow(tbl: pa.Table) -> pa.Table:
+    # Arrow-native merge path: binary payloads stay Arrow buffers until
+    # the numpy OR/max/add — no pandas object-column detour
+    payload = merge_serialized(tbl.column("sketch").to_pylist())
+    return pa.table(
+        {
+            "part_id": pa.array(
+                [pa.compute.min(tbl.column("part_id")).as_py()], pa.int64()
+            ),
+            "sketch": pa.array([payload], pa.binary()),
+            "rows": pa.array(
+                [pa.compute.sum(tbl.column("rows")).as_py()], pa.int64()
+            ),
+            "build_ms": pa.array(
+                [pa.compute.sum(tbl.column("build_ms")).as_py()], pa.float64()
+            ),
+        }
+    )
+
+
 def tree_merge(partials: DataFrame, n_partials: int, fanin: int = 64) -> DataFrame:
     """Reduce sketch rows level by level; each task merges ≤ fanin sketches.
 
@@ -124,7 +144,7 @@ def tree_merge(partials: DataFrame, n_partials: int, fanin: int = 64) -> DataFra
         df = (
             df.withColumn("part_id", (F.col("part_id") / fanin).cast("bigint"))
             .groupBy("part_id")
-            .applyInPandas(_merge_group, SKETCH_ROW_SCHEMA)
+            .applyInArrow(_merge_group_arrow, SKETCH_ROW_SCHEMA)
         )
         n = (n + fanin - 1) // fanin
     return df
@@ -176,6 +196,8 @@ def build_sketches(
     def fn(batches):
         from pyspark import TaskContext
 
+        from ..hashing import pack_arrow
+
         t0 = time.perf_counter()
         sks = {name: factory() for name, (_, factory) in specs.items()}
         rows = 0
@@ -183,8 +205,16 @@ def build_sketches(
             rows += batch.num_rows
             if batch.num_rows == 0:
                 continue
+            packed: dict[str, tuple] = {}  # pack each key column ONCE
             for name, (c, _) in specs.items():
-                _update_sketch_from_arrow(sks[name], batch.column(col_pos[c]))
+                sk = sks[name]
+                arr = batch.column(col_pos[c])
+                if hasattr(sk, "add_packed") and not _is_numeric_arrow(arr.type):
+                    if c not in packed:
+                        packed[c] = pack_arrow(arr)
+                    sk.add_packed(*packed[c])
+                else:
+                    _update_sketch_from_arrow(sk, arr)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         ms = (time.perf_counter() - t0) * 1000.0
@@ -204,10 +234,11 @@ def build_sketches(
     partials = df.select(*cols).mapInArrow(fn, MULTI_ROW_SCHEMA)
     n = max(1, df.rdd.getNumPartitions())
 
-    def merge_named(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = _merge_group(pdf)
-        out.insert(0, "name", [pdf["name"].iloc[0]])
-        return out
+    def merge_named(tbl: pa.Table) -> pa.Table:
+        out = _merge_group_arrow(tbl.drop_columns(["name"]))
+        return out.add_column(
+            0, "name", pa.array([tbl.column("name")[0].as_py()], pa.string())
+        )
 
     merged = partials
     remaining = n
@@ -215,7 +246,7 @@ def build_sketches(
         merged = (
             merged.withColumn("part_id", (F.col("part_id") / fanin).cast("bigint"))
             .groupBy("name", "part_id")
-            .applyInPandas(merge_named, MULTI_ROW_SCHEMA)
+            .applyInArrow(merge_named, MULTI_ROW_SCHEMA)
         )
         remaining = (remaining + fanin - 1) // fanin
 
