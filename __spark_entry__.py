@@ -185,6 +185,53 @@ def q_tdigest_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_bound_df(spark, vals, "v", td, rank_tol=0.01)
 
 
+def q_grouped_hll_tool_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type distinct-user estimates (salted grouped HLL build)
+    within ±3σ of the exact per-group counts."""
+    from sprout_spark.spark.aggregate import build_grouped_sketches, grouped_estimate
+
+    events = load(spark, sf_dir, "events")
+    g = build_grouped_sketches(
+        events, "event_type", "user_id", lambda: HyperLogLog(p=14), salt=8
+    )
+    est = grouped_estimate(g, lambda s: s.estimate())
+    exact = events.groupBy(F.col("event_type").cast("string").alias("key")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    tol = 3 * 1.04 / math.sqrt(1 << 14)
+    return (
+        est.join(exact, "key")
+        .select(
+            F.col("key").alias("event_type"),
+            "exact_distinct",
+            (
+                F.abs(F.col("estimate") - F.col("exact_distinct"))
+                / F.greatest(F.col("exact_distinct"), F.lit(1))
+                <= tol
+            ).alias("within_bound"),
+        )
+    )
+
+
+def q_tdigest_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event latency quantiles per user stream (the north-star
+    'latency quantiles' workload): window-lag deltas → t-digest, rank
+    checked against the exact distribution."""
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    prev_s = F.col("prev_ts").cast("timestamp").cast("double")
+    lat = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .select((ts_s - prev_s).alias("latency_s"))
+    )
+    td = build_sketch(lat.repartition(8), "latency_s", lambda: TDigest(200))
+    return _quantile_bound_df(spark, lat, "latency_s", td, rank_tol=0.01)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / text / similarity)
 # ---------------------------------------------------------------------------
@@ -314,6 +361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
+        "grouped_hll_tool_distinct": q_grouped_hll_tool_distinct,
+        "tdigest_latency_quantiles": q_tdigest_latency_quantiles,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -370,6 +419,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kll_value_quantiles": f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)",
         "tdigest_lineitem_price": (
+            f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "grouped_hll_tool_distinct": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+            "true AS within_bound FROM events GROUP BY event_type"
+        ),
+        "tdigest_latency_quantiles": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
         ),
         "exact_dedup_documents": (

@@ -83,6 +83,29 @@ def generate_transcripts(n_convs: int, seed: int = 42) -> pa.Table:
     )
 
 
+def verify_turn_ordering(df) -> dict:
+    """Check the input-hint per-row invariant: stable turn ordering —
+    (conv_id, turn_idx) unique, turn_idx dense from 0 within each
+    conversation. Returns violation counts (all zero for a valid table).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dup = (
+        df.groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        df.select("conv_id", "turn_idx", F.row_number().over(w).alias("rn"))
+        .where(F.col("turn_idx") != F.col("rn") - 1)
+        .count()
+    )
+    return {"duplicate_turns": dup, "ordering_gaps": gaps}
+
+
 def write_transcripts_parquet(path: str, n_convs: int, seed: int = 42) -> int:
     """Write the fixture to parquet; returns row count."""
     import pyarrow.parquet as pq
