@@ -185,6 +185,26 @@ def q_tdigest_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_bound_df(spark, vals, "v", td, rank_tol=0.01)
 
 
+def q_bottomk_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k sample over event_id: exactly k distinct
+    members of the table (membership verified exactly in Spark), KMV
+    distinct estimate within 4/√(k-2) of the true cardinality."""
+    from sprout_spark.sketch import BottomKSample
+
+    events = load(spark, sf_dir, "events")
+    k = 1024
+    s = build_sketch(events.repartition(8), "event_id", lambda: BottomKSample(k=k))
+    sample_ids = [int.from_bytes(b, "little", signed=True) for b in s.sample()]
+    sample_df = spark.createDataFrame([(i,) for i in sample_ids], "event_id bigint")
+    in_table = sample_df.join(events, "event_id", "left_semi").count()
+    exact = events.select("event_id").distinct().count()
+    est_ok = abs(s.estimate_distinct() - exact) / exact <= 4 * s.relative_error()
+    return spark.createDataFrame(
+        [(len(sample_ids), bool(in_table == len(sample_ids)), bool(est_ok))],
+        "sample_size bigint, all_in_table boolean, est_ok boolean",
+    )
+
+
 def q_grouped_hll_tool_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type distinct-user estimates (salted grouped HLL build)
     within ±3σ of the exact per-group counts."""
@@ -361,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
+        "bottomk_sample_events": q_bottomk_sample_events,
         "grouped_hll_tool_distinct": q_grouped_hll_tool_distinct,
         "tdigest_latency_quantiles": q_tdigest_latency_quantiles,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -420,6 +441,10 @@ def oracle_sql() -> dict[str, str]:
         "kll_value_quantiles": f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)",
         "tdigest_lineitem_price": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "bottomk_sample_events": (
+            "SELECT least(1024, count(DISTINCT event_id)) AS sample_size, "
+            "true AS all_in_table, true AS est_ok FROM events"
         ),
         "grouped_hll_tool_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "

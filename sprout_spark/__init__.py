@@ -12,6 +12,7 @@ Public API (see README.md):
 
 from .sketch import (
     KLL,
+    BottomKSample,
     BloomCapacityError,
     BloomFilter,
     CountMinSketch,
@@ -28,6 +29,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BloomFilter",
     "BloomCapacityError",
+    "BottomKSample",
     "ScalableBloomFilter",
     "HyperLogLog",
     "CountMinSketch",

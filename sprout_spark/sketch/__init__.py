@@ -2,6 +2,7 @@
 
 from .base import MergeableSketch, merge_serialized, sketch_from_bytes
 from .bloom import BloomCapacityError, BloomFilter, bloom_geometry
+from .bottomk import BottomKSample
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
@@ -13,6 +14,7 @@ __all__ = [
     "merge_serialized",
     "sketch_from_bytes",
     "BloomFilter",
+    "BottomKSample",
     "BloomCapacityError",
     "bloom_geometry",
     "ScalableBloomFilter",

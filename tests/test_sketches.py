@@ -256,3 +256,58 @@ def test_kll_roundtrip():
     assert back.num_retained() == kll.num_retained()
     for q in [0.1, 0.5, 0.9]:
         assert back.quantile(q) == kll.quantile(q)
+
+
+# ------------------------------------------------------------------- bottom-k
+
+
+def test_bottomk_deterministic_and_mergeable():
+    from sprout_spark.sketch import BottomKSample
+
+    ks = keys("s", 50_000)
+    whole = BottomKSample(k=256)
+    whole.update_values(ks)
+
+    parts = [ks[i::5] for i in range(5)]
+    merged = None
+    for p in parts:
+        s = BottomKSample(k=256)
+        s.update_values(p)
+        merged = s if merged is None else merged.merge(s)
+    # distributed sample == sequential sample, exactly
+    assert merged.sample() == whole.sample()
+    assert len(merged.sample()) == 256
+    assert merged.count == whole.count == 50_000
+    # sample items are real input keys
+    input_set = {k.encode() for k in ks}
+    assert all(b in input_set for b in merged.sample())
+
+
+def test_bottomk_distinct_estimator_bound():
+    from sprout_spark.sketch import BottomKSample
+
+    s = BottomKSample(k=1024)
+    n = 100_000
+    s.update_values(keys("d", n) + keys("d", 30_000))  # repeats don't inflate
+    est = s.estimate_distinct()
+    assert abs(est - n) / n <= 4 * s.relative_error()
+
+
+def test_bottomk_exact_when_small():
+    from sprout_spark.sketch import BottomKSample
+
+    s = BottomKSample(k=1024)
+    s.update_values(keys("x", 100))
+    assert s.estimate_distinct() == 100.0
+    assert len(s.sample()) == 100
+
+
+def test_bottomk_roundtrip():
+    from sprout_spark.sketch import BottomKSample, sketch_from_bytes
+
+    s = BottomKSample(k=64)
+    s.update_values(keys("r", 5000))
+    back = sketch_from_bytes(s.to_bytes())
+    assert back.sample() == s.sample()
+    assert back.estimate_distinct() == s.estimate_distinct()
+    assert back.count == s.count

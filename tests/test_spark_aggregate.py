@@ -204,3 +204,38 @@ def test_grouped_quantile_sketches(spark, transcripts):
             .collect()[0]
         )
         assert lo <= med[role] <= hi, role
+
+
+def test_bottomk_distributed_parallelism_invariant(spark, transcripts):
+    from sprout_spark.sketch import BottomKSample
+
+    samples = []
+    for parts in (2, 32):
+        s = build_sketch(
+            transcripts.repartition(parts),
+            "conv_id",
+            lambda: BottomKSample(k=128),
+            fanin=4,
+        )
+        samples.append(s.sample())
+    assert samples[0] == samples[1]  # same sample at any parallelism
+    assert len(samples[0]) == 128
+    stored = {
+        r["conv_id"].encode()
+        for r in transcripts.select("conv_id").distinct().collect()
+    }
+    assert all(b in stored for b in samples[0])
+
+
+def test_tree_merge_many_partitions_shape(spark):
+    """256 partials through a fanin-8 tree (3 levels) — the shape a
+    1000-executor job takes, with tiny sketches to keep it fast."""
+    from sprout_spark.sketch import HyperLogLog
+
+    df = spark.range(0, 100_000, 1, 256).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    hll = build_sketch(df, "k", lambda: HyperLogLog(p=12), fanin=8)
+    assert hll.count == 100_000
+    import math
+    assert abs(hll.estimate() - 100_000) / 100_000 <= 3 * 1.04 / math.sqrt(1 << 12)
