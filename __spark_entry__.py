@@ -414,7 +414,7 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
 
 
 def oracle_sql() -> dict[str, str]:
-    qs_values = ", ".join(f"({q}, true)" for q in _QS)
+    qs_values = ", ".join(f"(CAST({q} AS DOUBLE), true)" for q in _QS)
     return {
         "bloom_recall_users": "SELECT DISTINCT user_id FROM events",
         "sbf_recall_users": "SELECT DISTINCT user_id FROM events",
