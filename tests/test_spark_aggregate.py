@@ -239,3 +239,25 @@ def test_tree_merge_many_partitions_shape(spark):
     assert hll.count == 100_000
     import math
     assert abs(hll.estimate() - 100_000) / 100_000 <= 3 * 1.04 / math.sqrt(1 << 12)
+
+
+def test_quantile_rank_probe_column(spark, transcripts):
+    from sprout_spark.spark.probe import quantile_rank
+
+    lens = transcripts.select(F.length("text").cast("double").alias("len"))
+    td = build_sketch(lens, "len", lambda: TDigest(200))
+    ranked = lens.withColumn("r", quantile_rank(spark, td, F.col("len")))
+    rows = ranked.collect()
+    exact = np.sort(np.array([r["len"] for r in rows]))
+    n = len(exact)
+    for r in rows[:200]:
+        true_rank = np.searchsorted(exact, r["len"], side="right") / n
+        lo_rank = np.searchsorted(exact, r["len"], side="left") / n
+        assert lo_rank - 0.02 <= r["r"] <= true_rank + 0.02
+    # KLL path of the same probe
+    kll = build_sketch(lens, "len", lambda: KLL(200))
+    ranked2 = lens.withColumn("r", quantile_rank(spark, kll, F.col("len"))).collect()
+    for r in ranked2[:50]:
+        true_rank = np.searchsorted(exact, r["len"], side="right") / n
+        lo_rank = np.searchsorted(exact, r["len"], side="left") / n
+        assert lo_rank - 0.03 <= r["r"] <= true_rank + 0.03
