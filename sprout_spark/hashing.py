@@ -177,14 +177,24 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
         # canonical integer key encoding: widen to 8-byte LE so the same
-        # value hashes identically from int32 and int64 columns
+        # value hashes identically from int32 and int64 columns; NULLs
+        # hash as the empty key (matching the string path)
+        import pyarrow.compute as pc
+
+        nulls = None
+        if arr.null_count:
+            nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
+            arr = pc.fill_null(arr, 0)
         raw = np.ascontiguousarray(
-            arr.to_numpy(zero_copy_only=False).astype("<i8")
+            arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype("<i8")
         )
         n = len(raw)
         mat = np.zeros((n, 16), dtype=np.uint8)
         mat[:, :8] = raw.view(np.uint8).reshape(n, 8)
         lens = np.full(n, 8, dtype=np.int64)
+        if nulls is not None:
+            mat[nulls] = 0
+            lens[nulls] = 0
         return mat, lens
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dtype = np.int64
@@ -200,7 +210,17 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
         if bufs[2] is not None
         else np.zeros(0, dtype=np.uint8)
     )
-    return pack_keys(data, offsets)
+    mat, lens = pack_keys(data, offsets)
+    if arr.null_count:
+        # NULLs hash as the empty key (a null slot's offsets are not
+        # guaranteed zero-width, so mask explicitly)
+        import pyarrow.compute as pc
+
+        nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
+        mat[nulls] = 0
+        lens = lens.copy()
+        lens[nulls] = 0
+    return mat, lens
 
 
 def pack_any(values) -> tuple[np.ndarray, np.ndarray]:

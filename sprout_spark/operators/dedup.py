@@ -92,14 +92,20 @@ def minhash_band_rows(
             if len(ids) == 0:
                 continue
             h, offsets = _tokenize_batch(arr)
-            n = len(ids)
-            sig = np.full((n, n_hashes), np.iinfo(np.uint64).max, dtype=np.uint64)
             nonempty = np.diff(offsets) > 0
+            if not nonempty.any():
+                continue
+            # zero-token docs are dropped entirely: an all-sentinel
+            # signature would collide every such doc in every bucket
+            # (quadratic candidate blowup) and "empty ~ empty" is not a
+            # meaningful near-dup claim
+            ids = ids[nonempty]
+            n = len(ids)
+            sig = np.empty((n, n_hashes), dtype=np.uint64)
             starts = offsets[:-1][nonempty]
-            if len(h) and nonempty.any():
-                for i in range(n_hashes):
-                    g = _A[i] * h + _B[i]
-                    sig[nonempty, i] = np.minimum.reduceat(g, starts)
+            for i in range(n_hashes):
+                g = _A[i] * h + _B[i]
+                sig[:, i] = np.minimum.reduceat(g, starts)
             # band hash: murmur over the r consecutive 8-byte lanes
             band_mat = (
                 np.ascontiguousarray(sig)
@@ -186,7 +192,11 @@ def near_dup_pairs(
     With r=4, b=32 the detection probability at j=0.8 is
     1-(1-0.8^4)^32 ≈ 1-5e-8; verification makes surviving pairs exact.
     """
-    nonempty = df.where(F.length(F.trim(F.col(text_col))) > 0)
+    # strip ALL whitespace (trim only covers ASCII spaces — tab/newline-only
+    # docs must not slip through)
+    nonempty = df.where(
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
+    )
     bands = minhash_band_rows(nonempty, id_col, text_col, n_hashes, band_r)
     cands = lsh_candidate_pairs(bands)
     toks = token_sets(nonempty, id_col, text_col)

@@ -146,12 +146,24 @@ def sample_video_frames(df: DataFrame, every: int = 2, decode: str = "fake") -> 
 
 
 def repartition_by_bytes(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
-    """Range-partition media rows so each partition holds ~target_bytes of
-    payload (row-count partitioning is wrong for mixed media sizes)."""
+    """Partition media rows so each partition holds ~target_bytes of
+    payload (row-count partitioning is wrong for mixed media sizes):
+    bucket id = floor(running_sum(bytes) / target), assigned over a
+    deterministic media_id order, then repartition on the bucket.
+
+    Note: the running sum uses an unpartitioned window (one task for the
+    cumulative pass over (media_id, bytes) — 16 bytes/row); at extreme
+    row counts replace it with a per-partition-sum + offset broadcast."""
+    from pyspark.sql.window import Window
+
     sized = df.withColumn("_bytes", F.length("payload").cast("bigint"))
-    total = sized.agg(F.sum("_bytes")).collect()[0][0] or 0
-    n_parts = max(1, int(total // target_bytes) + 1)
+    w = Window.orderBy("media_id").rowsBetween(Window.unboundedPreceding, 0)
+    bucketed = sized.withColumn(
+        "_bucket", F.floor((F.sum("_bytes").over(w) - 1) / F.lit(target_bytes))
+    )
+    n_parts = (
+        bucketed.agg(F.max("_bucket")).collect()[0][0] or 0
+    ) + 1
     return (
-        sized.repartitionByRange(n_parts, F.col("_bytes"), F.col("media_id"))
-        .drop("_bytes")
+        bucketed.repartition(int(n_parts), "_bucket").drop("_bytes", "_bucket")
     )

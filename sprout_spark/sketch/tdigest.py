@@ -59,13 +59,15 @@ class TDigest(MergeableSketch):
     # -- partial ----------------------------------------------------------------
     def update_array(self, values, weights=None) -> None:
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        keep = ~np.isnan(values)
+        values = values[keep]
         if len(values) == 0:
             return
         if weights is None:
             weights = np.ones(len(values), dtype=np.float64)
         else:
-            weights = np.asarray(weights, dtype=np.float64)
+            # drop the weights of NaN values too, keeping pairs aligned
+            weights = np.asarray(weights, dtype=np.float64)[keep]
         self.min = min(self.min, float(values.min()))
         self.max = max(self.max, float(values.max()))
         self.count += len(values)

@@ -29,8 +29,13 @@ def save_sketch(
 
 def load_sketch(spark: SparkSession, path: str, name: str = "sketch") -> MergeableSketch:
     """Revive a persisted sketch (merging rows if several share the name)."""
+    from pyspark.sql import functions as F
+
     rows = (
-        spark.read.parquet(path).where(f"name = '{name}'").select("payload").collect()
+        spark.read.parquet(path)
+        .where(F.col("name") == name)
+        .select("payload")
+        .collect()
     )
     if not rows:
         raise FileNotFoundError(f"no sketch named {name!r} at {path}")

@@ -69,6 +69,31 @@ def _update_sketch_from_arrow(sk: MergeableSketch, arr) -> None:
         sk.update_arrow(arr)
 
 
+def _update_sketch_from_pandas(sk: MergeableSketch, vals: pd.Series) -> None:
+    """Dispatch a pandas Series (applyInPandas paths) to the sketch with
+    the same canonical encodings as the Arrow path. pandas widens
+    int64-with-NULLs to float64, so integral float series are restored to
+    nullable Int64 before hashing (genuine float keys are unsupported)."""
+    if pd.api.types.is_numeric_dtype(vals) and hasattr(sk, "update_array"):
+        sk.update_array(vals.to_numpy(dtype="float64", na_value=np.nan))
+        return
+    if pd.api.types.is_integer_dtype(vals):
+        sk.update_arrow(pa.Array.from_pandas(vals, type=pa.int64()))
+        return
+    if pd.api.types.is_float_dtype(vals):
+        nn = vals.dropna()
+        if len(nn) == 0 or (nn == nn.round()).all():
+            sk.update_arrow(
+                pa.Array.from_pandas(vals.astype("Int64"), type=pa.int64())
+            )
+            return
+        raise TypeError(
+            "float-valued keys are not supported by key sketches; cast to "
+            "string or int first"
+        )
+    sk.update_arrow(pa.Array.from_pandas(vals.astype("string").fillna("")))
+
+
 def partial_sketches(
     df: DataFrame, col: str, factory: Callable[[], MergeableSketch]
 ) -> DataFrame:
@@ -99,18 +124,6 @@ def partial_sketches(
         )
 
     return df.select(col).mapInArrow(fn, SKETCH_ROW_SCHEMA)
-
-
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    payload = merge_serialized(pdf["sketch"])
-    return pd.DataFrame(
-        {
-            "part_id": [int(pdf["part_id"].min())],
-            "sketch": [payload],
-            "rows": [int(pdf["rows"].sum())],
-            "build_ms": [float(pdf["build_ms"].sum())],
-        }
-    )
 
 
 def _merge_group_arrow(tbl: pa.Table) -> pa.Table:
@@ -286,14 +299,7 @@ def build_grouped_sketches(
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = factory()
-        vals = pdf[val_col]
-        if pd.api.types.is_numeric_dtype(vals) and hasattr(sk, "update_array"):
-            sk.update_array(vals.to_numpy(dtype="float64", na_value=np.nan))
-        elif pd.api.types.is_integer_dtype(vals):
-            # canonical LE-int64 key encoding (see hashing.pack_arrow)
-            sk.update_arrow(pa.Array.from_pandas(vals, type=pa.int64()))
-        else:
-            sk.update_arrow(pa.Array.from_pandas(vals.astype("string").fillna("")))
+        _update_sketch_from_pandas(sk, pdf[val_col])
         return pd.DataFrame(
             {
                 "key": [str(pdf[key_col].iloc[0])],

@@ -3,7 +3,10 @@
 The distributed analog of the reference's ``Contains``/bloom-gated ``Get``
 (``bloom.go:200-217``, ``bloom.go:220-236``): the merged sketch is tiny
 (~3.6 MB for a 2M-key ε=0.001 bloom), so it broadcasts to every executor
-once and probes run as Arrow-batched pandas UDFs — never per-row Python.
+once and probes run as **Arrow-native UDFs** (``F.arrow_udf``) — the
+column arrives as a ``pyarrow.Array`` with exact types and null slots
+intact (a pandas detour would widen int64-with-nulls to float64 and
+corrupt the canonical key encoding), and never per-row Python.
 
 ``bloom_semi_join`` is the library-level form of the reference's
 bloom-before-store lookup elision (its KV ``Get`` short-circuit,
@@ -19,7 +22,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,20 +36,20 @@ def _revive(payload: bytes) -> MergeableSketch:
     return sketch_from_bytes(payload)
 
 
-def _to_arrow(s: pd.Series) -> pa.Array:
-    if pd.api.types.is_integer_dtype(s):
-        return pa.Array.from_pandas(s, type=pa.int64())
-    return pa.Array.from_pandas(s.astype("string").fillna(""))
+def _chunked(a) -> pa.Array:
+    if isinstance(a, pa.ChunkedArray):
+        return a.combine_chunks()
+    return a
 
 
 def might_contain(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
     """Boolean column: sketch membership probe (no false negatives)."""
     bc = spark.sparkContext.broadcast(sketch.to_bytes())
 
-    @F.pandas_udf(BooleanType())
-    def probe(s: pd.Series) -> pd.Series:
+    @F.arrow_udf(BooleanType())
+    def probe(a: pa.Array) -> pa.Array:
         sk = _revive(bc.value)
-        return pd.Series(sk.contains_arrow(_to_arrow(s)))
+        return pa.array(sk.contains_arrow(_chunked(a)), pa.bool_())
 
     return probe(col)
 
@@ -55,10 +58,10 @@ def cms_estimate(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
     """Long column: count-min frequency estimate per value."""
     bc = spark.sparkContext.broadcast(sketch.to_bytes())
 
-    @F.pandas_udf(LongType())
-    def est(s: pd.Series) -> pd.Series:
+    @F.arrow_udf(LongType())
+    def est(a: pa.Array) -> pa.Array:
         sk = _revive(bc.value)
-        return pd.Series(sk.estimate_arrow(_to_arrow(s)).astype("int64"))
+        return pa.array(sk.estimate_arrow(_chunked(a)).astype("int64"), pa.int64())
 
     return est(col)
 
@@ -68,13 +71,12 @@ def quantile_rank(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
     (t-digest ``cdf`` / KLL ``rank``)."""
     bc = spark.sparkContext.broadcast(sketch.to_bytes())
 
-    @F.pandas_udf(DoubleType())
-    def rank(s: pd.Series) -> pd.Series:
+    @F.arrow_udf(DoubleType())
+    def rank(a: pa.Array) -> pa.Array:
         sk = _revive(bc.value)
-        vals = s.astype("float64").to_numpy()
-        if hasattr(sk, "cdf"):
-            return pd.Series(sk.cdf(vals))
-        return pd.Series(sk.rank(vals))
+        vals = _chunked(a).to_numpy(zero_copy_only=False).astype(np.float64)
+        out = sk.cdf(vals) if hasattr(sk, "cdf") else sk.rank(vals)
+        return pa.array(np.atleast_1d(out), pa.float64())
 
     return rank(col)
 

@@ -51,30 +51,29 @@ class StreamingSketchAccumulator:
         self.sketch, self.last_epoch = self._load()
 
     # -- persistence ---------------------------------------------------------
-    def _paths(self) -> tuple[str, str]:
-        return (
-            os.path.join(self.state_dir, "sketch.bin"),
-            os.path.join(self.state_dir, "state.json"),
-        )
+    # One file holds BOTH the epoch watermark and the payload so the
+    # commit is a single atomic os.replace — a crash can never leave a
+    # new sketch paired with an old epoch (which would double-merge the
+    # replayed micro-batch on restart).
+    def _path(self) -> str:
+        return os.path.join(self.state_dir, "state.bin")
 
     def _load(self) -> tuple[MergeableSketch, int]:
-        sk_path, st_path = self._paths()
-        if os.path.exists(sk_path) and os.path.exists(st_path):
-            with open(st_path) as f:
-                st = json.load(f)
-            with open(sk_path, "rb") as f:
+        path = self._path()
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                header = f.readline()
+                st = json.loads(header.decode())
                 return sketch_from_bytes(f.read()), int(st["epoch"])
         return self.factory(), -1
 
     def _save(self, epoch_id: int) -> None:
-        sk_path, st_path = self._paths()
-        tmp = sk_path + ".tmp"
+        path = self._path()
+        tmp = path + ".tmp"
         with open(tmp, "wb") as f:
+            f.write(json.dumps({"epoch": epoch_id}).encode() + b"\n")
             f.write(self.sketch.to_bytes())
-        os.replace(tmp, sk_path)  # atomic: crash leaves the old state
-        with open(st_path + ".tmp", "w") as f:
-            json.dump({"epoch": epoch_id}, f)
-        os.replace(st_path + ".tmp", st_path)
+        os.replace(tmp, path)  # atomic: crash leaves the old state intact
 
     # -- foreachBatch hook -----------------------------------------------------
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -130,6 +129,8 @@ def grouped_stream_sketches(
     state_schema = "sketch binary, rows bigint"
 
     def fn(key, pdf_iter, state: GroupState):
+        from ..spark.aggregate import _update_sketch_from_pandas
+
         if state.exists:
             sk_bytes, rows = state.get
             sk = sketch_from_bytes(bytes(sk_bytes))
@@ -138,10 +139,9 @@ def grouped_stream_sketches(
         for pdf in pdf_iter:
             vals = pdf[val_col]
             rows += len(vals)
-            if pd.api.types.is_numeric_dtype(vals) and hasattr(sk, "update_array"):
-                sk.update_array(vals.to_numpy(dtype="float64"))
-            else:
-                sk.update_values([str(v) for v in vals])
+            # same canonical encodings as the batch path — streaming- and
+            # batch-built sketches over the same column stay mergeable
+            _update_sketch_from_pandas(sk, vals)
         state.update((bytearray(sk.to_bytes()), rows))
         yield pd.DataFrame(
             {"key": [key[0]], "estimate": [float(estimator(sk))], "rows": [rows]}

@@ -261,3 +261,39 @@ def test_quantile_rank_probe_column(spark, transcripts):
         true_rank = np.searchsorted(exact, r["len"], side="right") / n
         lo_rank = np.searchsorted(exact, r["len"], side="left") / n
         assert lo_rank - 0.03 <= r["r"] <= true_rank + 0.03
+
+
+def test_probe_int_column_with_nulls_no_false_negatives(spark):
+    """Regression: int64 key column containing NULLs must not corrupt the
+    canonical key encoding on the probe side (pandas would widen to
+    float64; the Arrow-native probe must not)."""
+    df = spark.createDataFrame([(i,) for i in range(1000)], "user_id bigint")
+    bf = build_sketch(df, "user_id", lambda: BloomFilter(2000, 0.01))
+    probe_df = spark.createDataFrame(
+        [(1,), (2,), (None,), (999,), (555,)], "user_id bigint"
+    )
+    got = {
+        (r["user_id"], r["seen"])
+        for r in probe_df.select(
+            "user_id", might_contain(spark, bf, F.col("user_id")).alias("seen")
+        ).collect()
+    }
+    assert (1, True) in got and (2, True) in got
+    assert (999, True) in got and (555, True) in got
+    # the NULL probes as the canonical empty key, never inserted -> False
+    # (w.h.p.; geometry makes a false positive on one key ~eps)
+    null_row = [s for u, s in got if u is None]
+    assert null_row == [False]
+
+
+def test_build_with_null_keys_consistent(spark):
+    """NULL keys hash as the empty key on both build and probe sides."""
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    bf = build_sketch(df, "k", lambda: BloomFilter(100, 0.01))
+    assert bf.count == 3
+    assert bf.contains("a") and bf.contains("b") and bf.contains("")
+    dfi = spark.createDataFrame([(7,), (None,)], "k bigint")
+    bfi = build_sketch(dfi, "k", lambda: BloomFilter(100, 0.01))
+    assert bfi.contains(7) and bfi.contains("")
