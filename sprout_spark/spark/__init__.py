@@ -1,0 +1,12 @@
+"""Distributed build/merge/probe layer."""
+
+from .aggregate import (
+    build_grouped_sketches,
+    build_sketch,
+    build_sketches,
+    grouped_estimate,
+    partial_sketches,
+    tree_merge,
+)
+from .checkpoint import build_sketch_resumable, checkpointed_partials, lineage
+from .probe import bloom_semi_join, cms_estimate, might_contain, quantile_rank

@@ -81,6 +81,25 @@ def quantile_rank(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
     return rank(col)
 
 
+def register_sql_probe(
+    spark: SparkSession, name: str, sketch: MergeableSketch
+) -> None:
+    """Register a membership probe as a SQL function so plain
+    ``spark.sql`` queries can use a pre-built sketch:
+
+        register_sql_probe(spark, "seen_conv", bloom)
+        spark.sql("SELECT * FROM t WHERE seen_conv(conv_id)")
+    """
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.arrow_udf(BooleanType())
+    def probe(a: pa.Array) -> pa.Array:
+        sk = _revive(bc.value)
+        return pa.array(sk.contains_arrow(_chunked(a)), pa.bool_())
+
+    spark.udf.register(name, probe)
+
+
 def bloom_semi_join(
     spark: SparkSession,
     big: DataFrame,

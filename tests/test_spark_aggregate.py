@@ -297,3 +297,21 @@ def test_build_with_null_keys_consistent(spark):
     dfi = spark.createDataFrame([(7,), (None,)], "k bigint")
     bfi = build_sketch(dfi, "k", lambda: BloomFilter(100, 0.01))
     assert bfi.contains(7) and bfi.contains("")
+
+
+def test_register_sql_probe(spark, transcripts):
+    from sprout_spark.spark.probe import register_sql_probe
+
+    n = transcripts.count()
+    bf = build_sketch(transcripts, "conv_id", lambda: BloomFilter(n + 10, 0.01))
+    register_sql_probe(spark, "seen_conv", bf)
+    transcripts.createOrReplaceTempView("transcripts_v")
+    hits = spark.sql(
+        "SELECT count(*) AS c FROM transcripts_v WHERE seen_conv(conv_id)"
+    ).collect()[0]["c"]
+    assert hits == n  # full recall through the SQL surface
+    misses = spark.sql(
+        "SELECT count(*) AS c FROM (SELECT concat('nope-', id) AS k "
+        "FROM range(10000)) WHERE seen_conv(k)"
+    ).collect()[0]["c"]
+    assert misses / 10000 <= 0.02
