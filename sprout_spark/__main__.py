@@ -55,6 +55,13 @@ def main(argv=None) -> int:
         sp = sub.add_parser(name)
         common(sp)
         sp.add_argument("keys", nargs="+")
+        sp.add_argument(
+            "-int",
+            dest="as_int",
+            action="store_true",
+            help="treat keys as integers (canonical LE-int64 encoding, "
+            "matching filters built from integer columns)",
+        )
 
     for name in ("reset", "stats"):
         sp = sub.add_parser(name)
@@ -70,6 +77,9 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    def parse_keys(a):
+        return [int(k) for k in a.keys] if getattr(a, "as_int", False) else a.keys
+
     if args.cmd == "new":
         sk = (
             ScalableBloomFilter(args.capacity, args.err)
@@ -80,12 +90,12 @@ def main(argv=None) -> int:
         print(f"created {sk.TYPE} filter at {args.path}")
     elif args.cmd == "set":
         sk = _load(args.path)
-        sk.update_values(args.keys)
+        sk.update_values(parse_keys(args))
         _save(sk, args.path)
         print(f"added {len(args.keys)} key(s)")
     elif args.cmd == "get":
         sk = _load(args.path)
-        for k, hit in zip(args.keys, sk.contains_values(args.keys)):
+        for k, hit in zip(args.keys, sk.contains_values(parse_keys(args))):
             print(f"{k}\t{'true' if hit else 'false'}")
     elif args.cmd == "reset":
         sk = _load(args.path)
@@ -112,7 +122,10 @@ def main(argv=None) -> int:
             df, args.column, lambda: BloomFilter(cap + 10, args.err)
         )
         _save(sk, args.path)
-        print(json.dumps(sk.stats()))
+        stats = sk.stats()
+        if dict(df.dtypes).get(args.column) in ("int", "bigint", "smallint"):
+            stats["note"] = "integer key column: probe with 'get -int'"
+        print(json.dumps(stats))
         spark.stop()
     return 0
 

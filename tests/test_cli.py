@@ -40,3 +40,15 @@ def test_cli_scalable(tmp_path):
     out = run("get", "-path", path, "k0", "k499", "nope")
     lines = dict(l.split("\t") for l in out.strip().splitlines())
     assert lines["k0"] == "true" and lines["k499"] == "true"
+
+
+def test_cli_int_keys(tmp_path):
+    path = str(tmp_path / "i.bloom")
+    run("new", "-path", path, "-capacity", "1000")
+    run("set", "-path", path, "-int", "7", "42")
+    out = run("get", "-path", path, "-int", "7", "42", "99")
+    lines = dict(l.split("\t") for l in out.strip().splitlines())
+    assert lines["7"] == "true" and lines["42"] == "true" and lines["99"] == "false"
+    # string probe of an int-built filter is a different key space
+    out2 = run("get", "-path", path, "7")
+    assert dict(l.split("\t") for l in out2.strip().splitlines())["7"] == "false"
