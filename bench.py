@@ -329,7 +329,7 @@ def main() -> None:
             "(reference-parity seeded murmur3) + HLL-distinct-text + "
             "CMS-tool-frequencies simultaneously (64 input files, "
             "fanin-16 tree merge) — at two parallelism levels on the "
-            "same input, one fresh session per timed run, min of 2.\n\n"
+            "same input, one fresh session per timed run, min of 3.\n\n"
             f"| level | wall sec | throughput (rows/s) |\n|---|---|---|\n"
             f"| local[{SCALING_LEVELS[0]}] | {t_small:.3f} | "
             f"{rows_flagship / t_small:,.0f} |\n"

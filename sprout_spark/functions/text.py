@@ -104,11 +104,56 @@ def language_id(df: DataFrame, text_col: str, min_hits: int = 2) -> DataFrame:
     return out.drop(*[f"_hits_{l}" for l in langs])
 
 
+def _gram_window_hashes(
+    arr: pa.Array, gram: int, seed: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Murmur hashes of every byte ``gram``-window of every row, computed
+    from the Arrow string buffers with zero per-row Python: one flat
+    window-start vector (repeat + arange over the offsets), one (W, gram)
+    byte gather, ONE murmur pass over all windows of all rows.
+
+    Returns (hashes uint64 flat (W,), counts int64 (n,)) where row i owns
+    ``hashes[cum(counts)[i-1]:cum(counts)[i]]``.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = np.diff(offsets)
+    if arr.null_count:
+        nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
+        lens = lens.copy()
+        lens[nulls] = 0
+    counts = np.maximum(lens - gram + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), counts
+    excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    w_idx = np.arange(total, dtype=np.int64)
+    starts = np.repeat(offsets[:-1], counts) + (w_idx - np.repeat(excl, counts))
+    width = max(16, ((gram + 15) // 16) * 16)
+    mat = np.zeros((total, width), dtype=np.uint8)
+    for j in range(gram):  # column-wise gather: gram 1-D gathers beat one
+        mat[:, j] = data[starts + j]  # (W, gram) 2-D fancy-index by ~5x
+    return murmur3_64_packed(mat, np.full(total, gram, dtype=np.int64), seed), counts
+
+
 def document_fingerprints(
     df: DataFrame, id_col: str, text_col: str, gram: int = 8, keep: int = 4
 ) -> DataFrame:
-    """Winnowing-style fingerprints: min-``keep`` rolling hashes of
-    byte ``gram``-grams per document, one vectorized pass.
+    """Winnowing-style fingerprints: min-``keep`` murmur hashes of byte
+    ``gram``-grams per document, one vectorized pass (flat window matrix →
+    one murmur call → lexsort-segmented min-k; zero per-row Python).
 
     Output: (id, fp bigint) — ``keep`` rows per non-trivial doc. Shared
     fingerprints indicate copied spans (containment, where token-level
@@ -119,30 +164,23 @@ def document_fingerprints(
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
                 continue
-            texts = batch.column(1)
-            out_ids, out_fps = [], []
-            # per-row numpy rolling hash over byte windows; rows are
-            # independent but windows within a row are vectorized
-            for rid, txt in zip(ids, texts):
-                s = (txt.as_py() or "").encode("utf-8")
-                if len(s) < gram:
-                    continue
-                b = np.frombuffer(s, dtype=np.uint8)
-                w = np.lib.stride_tricks.sliding_window_view(b, gram)
-                mat = np.ascontiguousarray(w)
-                lens = np.full(len(mat), gram, dtype=np.int64)
-                # pad to 16-byte matrix for the murmur kernel
-                padded = np.zeros((len(mat), 16), dtype=np.uint8)
-                padded[:, :gram] = mat
-                h = murmur3_64_packed(padded, lens, 1)
-                kk = min(keep, len(h))
-                sel = np.partition(h, kk - 1)[:kk]
-                out_ids.extend([rid] * kk)
-                out_fps.extend(sel.view(np.int64).tolist())
+            h, counts = _gram_window_hashes(batch.column(1), gram, seed=1)
+            if len(h) == 0:
+                continue
+            n = len(ids)
+            seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+            order = np.lexsort((h, seg))  # group by row, hash ascending
+            # rank within each row's (sorted, contiguous) window block
+            excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            rank = np.arange(len(h), dtype=np.int64) - np.repeat(excl, counts)
+            keep_mask = rank < np.minimum(
+                np.repeat(counts, counts), keep
+            )
+            sel = order[keep_mask]
             yield pa.RecordBatch.from_pydict(
                 {
-                    "id": pa.array(out_ids, pa.int64()),
-                    "fp": pa.array(out_fps, pa.int64()),
+                    "id": pa.array(ids[seg[sel]], pa.int64()),
+                    "fp": pa.array(h[sel].view(np.int64), pa.int64()),
                 }
             )
 

@@ -175,6 +175,23 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()
+    if not (
+        pa.types.is_integer(arr.type)
+        or pa.types.is_string(arr.type)
+        or pa.types.is_large_string(arr.type)
+        or pa.types.is_binary(arr.type)
+        or pa.types.is_large_binary(arr.type)
+    ):
+        # mirror the pandas path's explicit float-key error: anything else
+        # (float/double/decimal/...) would be reinterpreted as offsets by
+        # the string path below and crash confusingly or silently mis-hash
+        raise TypeError(
+            f"unsupported key column type {arr.type}; key sketches accept "
+            "string/binary/integer columns — cast float or decimal keys "
+            "to string or int first"
+        )
     if pa.types.is_integer(arr.type):
         # canonical integer key encoding: widen to 8-byte LE so the same
         # value hashes identically from int32 and int64 columns; NULLs
@@ -299,11 +316,18 @@ def murmur3_64_packed(
     # Zero padding means absent tail bytes contribute nothing, but bytes
     # beyond ``len`` within the tail words are already zero too, so the
     # gathered words equal the reference's byte-by-byte accumulation.
-    tail_word0 = nblocks * 2
-    tail_word1 = tail_word0 + 1
     nwords = w // 8
-    k1 = np.where(tail_word0 < nwords, words[np.arange(n), np.minimum(tail_word0, nwords - 1)], _U64(0))
-    k2 = np.where(tail_word1 < nwords, words[np.arange(n), np.minimum(tail_word1, nwords - 1)], _U64(0))
+    if w == 16 or not nblocks.any():
+        # all keys fit one block pair (every <=16-byte batch: int64 keys,
+        # gram windows, band rows): the tail is columns 0/1 directly — no
+        # per-row fancy gather
+        k1 = np.where(nblocks == 0, words[:, 0], _U64(0))
+        k2 = np.where(nblocks == 0, words[:, 1], _U64(0))
+    else:
+        tail_word0 = nblocks * 2
+        tail_word1 = tail_word0 + 1
+        k1 = np.where(tail_word0 < nwords, words[np.arange(n), np.minimum(tail_word0, nwords - 1)], _U64(0))
+        k2 = np.where(tail_word1 < nwords, words[np.arange(n), np.minimum(tail_word1, nwords - 1)], _U64(0))
     tail_len = lens - nblocks * 16
 
     # mask k1 to the first min(tail_len, 8) bytes, k2 to bytes 8..14

@@ -234,12 +234,16 @@ def exact_jaccard_pairs(
 def exact_dedup(df: DataFrame, id_col: str, dup_cols: list[str]) -> DataFrame:
     """Exact dedup: keep the lowest id per duplicate group.
 
-    Scale note: group on xxhash64 of the columns so the shuffle key is 8
-    bytes; verify within group is implicit (hash collisions are 2^-64 —
-    acceptable for dedup; use the full columns as key if not)."""
-    return df.groupBy(*dup_cols).agg(
-        F.min(F.col(id_col)).alias(id_col), F.count("*").alias("n_copies")
-    ).select(id_col, "n_copies")
+    Groups on ``xxhash64(*dup_cols)`` (JVM-side) so the shuffle key is 8
+    bytes — the map-side partial aggregate then shuffles
+    (hash, min_id, count) rows, never the documents themselves. Hash
+    collisions are 2^-64 per pair — acceptable for dedup; pass the full
+    columns as ``dup_cols`` through a pre-hashed column if not."""
+    return (
+        df.groupBy(F.xxhash64(*dup_cols).alias("_dup_key"))
+        .agg(F.min(F.col(id_col)).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
 
 
 # ---------------------------------------------------------------------------

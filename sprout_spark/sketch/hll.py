@@ -8,9 +8,15 @@ element-wise ``max`` (associative, commutative, idempotent).
 Geometry: ``m = 2**p`` uint8 registers. For each key, ``h = murmur3_64``
 (seed 0, the reference's hash); the top ``p`` bits select the register and
 ``rho`` = leading-zero count of the remaining ``64-p`` bits + 1 is the
-candidate value. Standard bias handling: linear counting below 2.5·m when
-empty registers exist; no large-range correction is needed with a 64-bit
-hash. Relative standard error ≈ 1.04/√m.
+candidate value.
+
+Estimation uses Ertl's improved estimator (O. Ertl, "New cardinality
+estimation algorithms for HyperLogLog sketches", arXiv:1702.01284, 2017,
+§2 eq. 2 with the σ/τ series of Alg. 5/6): it is derived from the full
+register histogram (including the saturated value q+1) and is bias-free
+over the entire range — no linear-counting switch, no empirical HLL++
+bias tables, no mid-range crossover band. Relative standard error
+≈ 1.04/√m (slightly better in the small-n regime).
 """
 
 from __future__ import annotations
@@ -37,14 +43,37 @@ def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     return bl
 
 
-def _alpha(m: int) -> float:
-    if m == 16:
-        return 0.673
-    if m == 32:
-        return 0.697
-    if m == 64:
-        return 0.709
-    return 0.7213 / (1.0 + 1.079 / m)
+_ALPHA_INF = 1.0 / (2.0 * math.log(2.0))
+
+
+def _sigma(x: float) -> float:
+    """Ertl alg. 5: σ(x) = x + Σ 2^(k-1)·x^(2^k); σ(1) = +inf."""
+    if x == 1.0:
+        return math.inf
+    y = 1.0
+    z = x
+    while True:
+        x = x * x
+        z_prev = z
+        z += x * y
+        y += y
+        if z == z_prev:
+            return z
+
+
+def _tau(x: float) -> float:
+    """Ertl alg. 6: τ(x) = (1/3)(1 - x - Σ (1-x^(2^-k))²·2^-k)."""
+    if x == 0.0 or x == 1.0:
+        return 0.0
+    y = 1.0
+    z = 1.0 - x
+    while True:
+        x = math.sqrt(x)
+        z_prev = z
+        y *= 0.5
+        z -= (1.0 - x) ** 2 * y
+        if z == z_prev:
+            return z / 3.0
 
 
 @register
@@ -90,14 +119,19 @@ class HyperLogLog(MergeableSketch):
 
     # -- query ------------------------------------------------------------------
     def estimate(self) -> float:
+        """Ertl improved raw estimate from the register histogram:
+        m·α∞ ·m / (m·σ(C0/m) + Σ_{k=1..q} Ck·2^-k + m·τ(1-C_{q+1}/m)·2^-q).
+        """
         m = self.m
-        inv = np.ldexp(1.0, -self.registers.astype(np.int32))
-        raw = _alpha(m) * m * m / inv.sum()
-        if raw <= 2.5 * m:
-            zeros = int((self.registers == 0).sum())
-            if zeros:
-                return m * math.log(m / zeros)  # linear counting
-        return float(raw)
+        q = 64 - self.p  # max rho is q+1 (all low bits zero)
+        c = np.bincount(self.registers, minlength=q + 2)
+        z = m * _tau(1.0 - c[q + 1] / m)
+        for k in range(q, 0, -1):  # Horner: Σ Ck·2^-k + tail·2^-q
+            z = 0.5 * (z + float(c[k]))
+        z += m * _sigma(c[0] / m)
+        if math.isinf(z):
+            return 0.0  # empty sketch
+        return _ALPHA_INF * m * m / z
 
     def relative_error(self) -> float:
         return 1.04 / math.sqrt(self.m)

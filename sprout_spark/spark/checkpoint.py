@@ -24,7 +24,6 @@ uninterrupted build's.
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Callable
 
@@ -39,17 +38,38 @@ from .aggregate import SKETCH_ROW_SCHEMA, _update_sketch_from_arrow, tree_merge
 CKPT_SCHEMA = SKETCH_ROW_SCHEMA + ", input_desc string, attempt bigint"
 
 
-def _completed_parts(spark: SparkSession, ckpt_dir: str) -> set[int]:
-    if not _ckpt_exists(ckpt_dir):
+def _read_ckpt(spark: SparkSession, ckpt_dir: str) -> DataFrame | None:
+    """Read the checkpoint through Spark (works on hdfs://, s3a://, ...
+    where driver-local os.path probing would silently see nothing)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(ckpt_dir)
+        df.schema  # force resolution
+        return df
+    except AnalysisException:
+        return None
+
+
+def _completed_parts(
+    spark: SparkSession, ckpt_dir: str, input_desc: str
+) -> set[int]:
+    allp = _read_ckpt(spark, ckpt_dir)
+    if allp is None:
         return set()
-    rows = spark.read.parquet(ckpt_dir).select("part_id").distinct().collect()
+    descs = {
+        r["input_desc"] for r in allp.select("input_desc").distinct().collect()
+    }
+    if descs and descs != {input_desc}:
+        # a geometry-identical sketch from a different source/column would
+        # merge silently — refuse instead of producing a wrong result
+        raise ValueError(
+            f"checkpoint dir {ckpt_dir!r} holds partials for "
+            f"{sorted(descs)!r}, not {input_desc!r}; use a fresh directory "
+            "or delete the stale checkpoint"
+        )
+    rows = allp.select("part_id").distinct().collect()
     return {int(r["part_id"]) for r in rows}
-
-
-def _ckpt_exists(ckpt_dir: str) -> bool:
-    return os.path.isdir(ckpt_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(ckpt_dir)
-    )
 
 
 def checkpointed_partials(
@@ -63,9 +83,9 @@ def checkpointed_partials(
     """Run the partial step, skipping partitions already checkpointed, and
     append the new partials to ``ckpt_dir``. Returns the deduplicated
     full partial set (one row per partition)."""
-    done = _completed_parts(spark, ckpt_dir)
-    done_bc = spark.sparkContext.broadcast(done)
     desc = input_desc or f"col={col}"
+    done = _completed_parts(spark, ckpt_dir, desc)
+    done_bc = spark.sparkContext.broadcast(done)
 
     def fn(batches):
         from pyspark import TaskContext

@@ -20,6 +20,7 @@ including ones persisted from a previous job.)
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import lru_cache
 
 import numpy as np
@@ -36,6 +37,33 @@ def _revive(payload: bytes) -> MergeableSketch:
     return sketch_from_bytes(payload)
 
 
+# Broadcasts are memoized per (application, payload): repeated probes of
+# the same sketch in a long-lived session reuse one broadcast instead of
+# accumulating multi-MB copies on every call. Small LRU; evicted entries
+# are unpersisted (non-blocking) — live Columns still hold their own
+# reference, so eviction never breaks an in-flight query plan.
+_BC_CACHE: OrderedDict = OrderedDict()
+_BC_CACHE_MAX = 16
+
+
+def _broadcast_payload(spark: SparkSession, payload: bytes):
+    sc = spark.sparkContext
+    key = (sc.applicationId, payload)
+    bc = _BC_CACHE.get(key)
+    if bc is not None:
+        _BC_CACHE.move_to_end(key)
+        return bc
+    bc = sc.broadcast(payload)
+    _BC_CACHE[key] = bc
+    while len(_BC_CACHE) > _BC_CACHE_MAX:
+        _, old = _BC_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # stale broadcast from a stopped session
+    return bc
+
+
 def _chunked(a) -> pa.Array:
     if isinstance(a, pa.ChunkedArray):
         return a.combine_chunks()
@@ -44,7 +72,7 @@ def _chunked(a) -> pa.Array:
 
 def might_contain(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
     """Boolean column: sketch membership probe (no false negatives)."""
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(BooleanType())
     def probe(a: pa.Array) -> pa.Array:
@@ -56,7 +84,7 @@ def might_contain(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
 
 def cms_estimate(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
     """Long column: count-min frequency estimate per value."""
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(LongType())
     def est(a: pa.Array) -> pa.Array:
@@ -69,7 +97,7 @@ def cms_estimate(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
 def quantile_rank(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
     """Double column: approximate rank fraction of each value
     (t-digest ``cdf`` / KLL ``rank``)."""
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(DoubleType())
     def rank(a: pa.Array) -> pa.Array:
@@ -90,7 +118,7 @@ def register_sql_probe(
         register_sql_probe(spark, "seen_conv", bloom)
         spark.sql("SELECT * FROM t WHERE seen_conv(conv_id)")
     """
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(BooleanType())
     def probe(a: pa.Array) -> pa.Array:

@@ -61,10 +61,25 @@ class StreamingSketchAccumulator:
     def _load(self) -> tuple[MergeableSketch, int]:
         path = self._path()
         if os.path.exists(path):
-            with open(path, "rb") as f:
-                header = f.readline()
-                st = json.loads(header.decode())
-                return sketch_from_bytes(f.read()), int(st["epoch"])
+            try:
+                with open(path, "rb") as f:
+                    header = f.readline()
+                    st = json.loads(header.decode())
+                    return sketch_from_bytes(f.read()), int(st["epoch"])
+            except (ValueError, KeyError) as e:
+                # a power failure could in principle survive the rename
+                # with truncated payload bytes (fsync below closes the
+                # common case); fail loud but recover — accumulated state
+                # is LOST and must be rebuilt from the source in batch
+                # mode if exactness matters
+                import warnings
+
+                warnings.warn(
+                    f"corrupt streaming sketch state at {path!r} ({e}); "
+                    "restarting from an EMPTY sketch — prior accumulated "
+                    "state is lost, rebuild from the source if needed",
+                    stacklevel=2,
+                )
         return self.factory(), -1
 
     def _save(self, epoch_id: int) -> None:
@@ -73,6 +88,8 @@ class StreamingSketchAccumulator:
         with open(tmp, "wb") as f:
             f.write(json.dumps({"epoch": epoch_id}).encode() + b"\n")
             f.write(self.sketch.to_bytes())
+            f.flush()
+            os.fsync(f.fileno())  # rename must never outlive the payload
         os.replace(tmp, path)  # atomic: crash leaves the old state intact
 
     # -- foreachBatch hook -----------------------------------------------------

@@ -97,3 +97,24 @@ def test_pack_arrow_matches_pack_any():
     h3 = murmur3_64_packed(m3, l3, 99)
     h4 = murmur3_64_packed(m4, l4, 99)
     assert (h3 == h4).all()
+
+
+def test_pack_arrow_rejects_unhashable_key_types():
+    """Float/decimal/dict-of-float columns must fail loudly, not be
+    reinterpreted as string offsets (ADVICE r1: silent mis-hash risk)."""
+    import pyarrow as pa
+    import pytest
+
+    from sprout_spark.hashing import pack_arrow
+
+    for bad in (
+        pa.array([1.5, 2.5], pa.float64()),
+        pa.array([1.5], pa.float32()),
+        pa.array([True, False], pa.bool_()),
+    ):
+        with pytest.raises(TypeError, match="unsupported key column type"):
+            pack_arrow(bad)
+    # dictionary-encoded STRING decodes fine (common parquet encoding)
+    d = pa.array(["a", "b", "a"]).dictionary_encode()
+    mat, lens = pack_arrow(d)
+    assert list(lens) == [1, 1, 1]

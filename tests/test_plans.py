@@ -45,6 +45,23 @@ def test_probe_is_arrow_vectorized(spark, transcripts_path):
     assert "BatchEvalPython" not in plan
 
 
+def test_exact_dedup_shuffles_hash_not_text(spark, transcripts_path):
+    """The dedup shuffle key must be the 8-byte xxhash64 of the columns,
+    never the raw document bytes (VERDICT r1 'What's wrong' #1)."""
+    from sprout_spark.operators.dedup import exact_dedup
+
+    df = spark.read.parquet(transcripts_path)
+    deduped = exact_dedup(df, "turn_idx", ["text"])
+    plan = plan_of(deduped)
+    # map-side partial aggregate on the 8-byte hash key...
+    assert "xxhash64" in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    # ...and the exchange carries (hash, min, count) — never the text
+    exchange = plan.split("Exchange")[-1].split("HashAggregate")[0]
+    assert "hashpartitioning" in exchange
+    assert "text" not in exchange
+
+
 def test_whole_stage_codegen_on_jvm_path(spark, transcripts_path):
     from sprout_spark.functions.text import with_text_stats
 
