@@ -75,6 +75,26 @@ def q_bloom_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
 
 
+def q_sharded_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-broadcast membership: per-shard filters probed through a
+    cogrouped shard join (no filter broadcast anywhere — the path that
+    still works when the filter is TBs at the 10^12-key north-star scale).
+    Zero false negatives ⇒ result == all distinct user_ids."""
+    from sprout_spark.spark.sharded import build_sharded_bloom, sharded_might_contain
+
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    filters = build_sharded_bloom(
+        events, "user_id", n_shards=8, expected_distinct=n + 10, err_rate=0.001
+    )
+    distinct = events.select("user_id").distinct()
+    return (
+        sharded_might_contain(distinct, "user_id", filters, 8)
+        .where(F.col("might_contain"))
+        .select("user_id")
+    )
+
+
 def q_bloom_fpr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed FPR on held-out probes ≤ ε + 95% binomial CI slack."""
     events = load(spark, sf_dir, "events")
@@ -374,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_recall_users": q_bloom_recall_users,
         "sbf_recall_users": q_sbf_recall_users,
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
+        "sharded_bloom_recall": q_sharded_bloom_recall,
         "bloom_fpr_bound": q_bloom_fpr_bound,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_bounds": q_cms_event_type_bounds,
@@ -423,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "bloom_fpr_bound": "SELECT true AS fpr_ok",
+        "sharded_bloom_recall": "SELECT DISTINCT user_id FROM events",
         "hll_distinct_users": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, "
             "true AS within_bound FROM events"

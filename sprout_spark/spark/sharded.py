@@ -1,0 +1,211 @@
+"""Sharded sketch membership: beyond-broadcast ``Contains`` at 10^12 keys.
+
+A monolithic Bloom filter for 10^12 keys at ε=0.001 is ~1.8 TB — far past
+what ``sparkContext.broadcast`` can ship (the ``spark/probe.py`` path is
+right only while the merged filter is MBs). This module keeps the
+reference's ``Contains`` semantics (``/root/reference/bloom.go:200-217``:
+zero false negatives, ε false-positive bound) at arbitrary filter size by
+hash-sharding the KEY SPACE:
+
+* **build**: ``shard = pmod(xxhash64(key), n_shards)`` (JVM-side, no
+  Python in the partitioning decision), one independent sketch per shard,
+  each sized for ``distinct/n_shards`` keys. The only full-data movement
+  is ONE shuffle of the projected key column (8-byte hash + key bytes);
+  every partial is sketch-sized. The result is a normal DataFrame
+  ``[shard, sketch, rows]`` — persistable through
+  ``sources/sketch_store.save_grouped_sketches`` and re-loadable by any
+  later job, like the reference's mmap'd filter file but splittable.
+* **probe**: a cogrouped shard join — probe rows shuffle on their 8-byte
+  shard id, each task receives ONE shard's filter payload plus that
+  shard's probe rows, and the vectorized ``contains_arrow`` kernel runs
+  per batch. The filter payload moves once per shard (never per row,
+  never through a broadcast), so total filter traffic is exactly the
+  filter's size regardless of probe-side row count.
+
+Correctness is unchanged from the monolithic filter: a key always probes
+the shard it was built into (same JVM hash expression on both sides), so
+zero false negatives survive sharding; false positives stay ≤ ε per shard
+because each shard is sized for its own key population.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..sketch.base import MergeableSketch, merge_serialized, sketch_from_bytes
+from ..sketch.bloom import BloomFilter
+from .aggregate import _update_sketch_from_arrow
+
+SHARD_ROW_SCHEMA = "shard bigint, sketch binary, rows bigint"
+
+
+def shard_id(col, n_shards: int) -> Column:
+    """JVM-side shard assignment; identical expression on build and probe
+    sides is what guarantees a key probes the shard it was added to."""
+    return F.pmod(F.xxhash64(col), F.lit(n_shards))
+
+
+def build_sharded_sketch(
+    df: DataFrame,
+    col: str,
+    n_shards: int,
+    factory: Callable[[], MergeableSketch],
+    salt: int = 0,
+) -> DataFrame:
+    """One sketch per hash-shard: DataFrame[shard, sketch, rows].
+
+    ``salt > 1`` splits each shard's build across ``salt`` tasks (bounding
+    the per-task group size to ~rows/(n_shards*salt)) and merges the salted
+    partials per shard — exact, because merge is associative/commutative.
+    """
+    base = df.select(F.col(col).alias("k")).withColumn(
+        "shard", shard_id(F.col("k"), n_shards)
+    )
+
+    def build_group(tbl: pa.Table) -> pa.Table:
+        sk = factory()
+        arr = tbl.column("k")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr):
+            _update_sketch_from_arrow(sk, arr)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    [tbl.column("shard")[0].as_py()], pa.int64()
+                ),
+                "sketch": pa.array([sk.to_bytes()], pa.binary()),
+                "rows": pa.array([tbl.num_rows], pa.int64()),
+            }
+        )
+
+    if salt and salt > 1:
+        # sub-split on a differently-seeded hash (extra literal column
+        # changes xxhash64's value) so hot shards spread across tasks
+        salted = base.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("k"), F.lit(1)), F.lit(salt))
+        )
+        partials = salted.groupBy("shard", "_salt").applyInArrow(
+            lambda t: build_group(t.drop_columns(["_salt"])), SHARD_ROW_SCHEMA
+        )
+
+        def merge_group(tbl: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "shard": pa.array(
+                        [tbl.column("shard")[0].as_py()], pa.int64()
+                    ),
+                    "sketch": pa.array(
+                        [merge_serialized(tbl.column("sketch").to_pylist())],
+                        pa.binary(),
+                    ),
+                    "rows": pa.array(
+                        [pa.compute.sum(tbl.column("rows")).as_py()], pa.int64()
+                    ),
+                }
+            )
+
+        return partials.groupBy("shard").applyInArrow(
+            merge_group, SHARD_ROW_SCHEMA
+        )
+    return base.groupBy("shard").applyInArrow(build_group, SHARD_ROW_SCHEMA)
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    col: str,
+    n_shards: int,
+    expected_distinct: int,
+    err_rate: float = 0.001,
+    salt: int = 0,
+    slack: float = 1.25,
+) -> DataFrame:
+    """Sharded Bloom sized per shard: hash-sharding concentrates shard
+    populations tightly around ``expected_distinct / n_shards`` (binomial;
+    ±4σ is within a few percent at these scales), so each shard gets
+    ``slack`` headroom over the mean. ``enforce_capacity=False`` because a
+    membership stream re-sees keys — saturation (and the ε bound) depends
+    on distinct insertions, which the sizing already accounts for."""
+    per_shard = max(64, int(slack * expected_distinct / max(1, n_shards)))
+    return build_sharded_sketch(
+        df,
+        col,
+        n_shards,
+        lambda: BloomFilter(per_shard, err_rate, enforce_capacity=False),
+        salt=salt,
+    )
+
+
+def sharded_might_contain(
+    df: DataFrame,
+    key_col: str,
+    filters: DataFrame,
+    n_shards: int,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """``df`` plus a boolean membership column, probed against a sharded
+    filter table WITHOUT broadcasting any payload.
+
+    Plan shape: both sides shuffle on the 8-byte shard id; each cogroup
+    task gets one shard's filter row + that shard's probe rows and runs
+    the vectorized probe kernel. No BroadcastExchange anywhere (tested in
+    ``tests/test_sharded.py``)."""
+    from pyspark.sql.types import StructField, StructType
+
+    probe = df.withColumn("_shard", shard_id(F.col(key_col), n_shards))
+    # copy the fields: StructType.add mutates in place, and df.schema is
+    # cached on the DataFrame — appending there corrupts later plans
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BooleanType(), False)]
+    )
+    key_idx = df.columns.index(key_col)
+
+    def fn(left: pa.Table, right: pa.Table) -> pa.Table:
+        left = left.drop_columns(["_shard"])
+        if right.num_rows == 0:
+            # no filter for this shard: nothing was ever added there
+            contains = np.zeros(left.num_rows, dtype=bool)
+        else:
+            sk = sketch_from_bytes(
+                merge_serialized(right.column("sketch").to_pylist())
+            )
+            arr = left.column(key_idx)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            contains = (
+                sk.contains_arrow(arr)
+                if len(arr)
+                else np.zeros(0, dtype=bool)
+            )
+        return left.append_column(out_col, pa.array(contains, pa.bool_()))
+
+    return (
+        probe.groupBy("_shard")
+        .cogroup(filters.groupBy("shard"))
+        .applyInArrow(fn, out_schema)
+    )
+
+
+def sharded_semi_join(
+    big: DataFrame,
+    big_key: str,
+    small: DataFrame,
+    small_key: str,
+    filters: DataFrame,
+    n_shards: int,
+) -> DataFrame:
+    """Exact left-semi join pruned by a sharded filter (the beyond-
+    broadcast analog of ``probe.bloom_semi_join``): prune ``big`` by
+    sharded membership, then confirm with the real semi join so false
+    positives drop out."""
+    pruned = sharded_might_contain(big, big_key, filters, n_shards)
+    pruned = pruned.where(F.col("might_contain")).drop("might_contain")
+    return pruned.join(
+        small, on=pruned[big_key] == small[small_key], how="left_semi"
+    )

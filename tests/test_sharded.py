@@ -1,0 +1,127 @@
+"""Sharded Bloom membership: recall through sharding, plan shape (no
+broadcast of the filter payload), salt equivalence, persistence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sprout_spark.sketch import BloomFilter
+from sprout_spark.sketch.base import sketch_from_bytes
+from sprout_spark.spark.sharded import (
+    build_sharded_bloom,
+    build_sharded_sketch,
+    sharded_might_contain,
+    sharded_semi_join,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed_df(spark):
+    return spark.range(0, 20_000).select(
+        (F.col("id") * 7919 % 100_000).alias("k")
+    )
+
+
+def test_sharded_recall_is_total(spark, keyed_df):
+    """Every stored key probes true through build→shard→cogroup probe —
+    the reference's no-false-negatives contract (bloom.go:200-217)
+    survives sharding."""
+    filters = build_sharded_bloom(
+        keyed_df, "k", n_shards=8, expected_distinct=20_000, err_rate=0.01
+    )
+    probed = sharded_might_contain(keyed_df.distinct(), "k", filters, 8)
+    n = keyed_df.distinct().count()
+    assert probed.where("might_contain").count() == n
+
+
+def test_sharded_fpr_holds(spark, keyed_df):
+    """Held-out probes false-positive at ~eps, not more (each shard is
+    sized for its own population, so sharding preserves the bound)."""
+    filters = build_sharded_bloom(
+        keyed_df, "k", n_shards=8, expected_distinct=20_000, err_rate=0.01
+    )
+    misses = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+    fp = (
+        sharded_might_contain(misses, "k", filters, 8)
+        .where("might_contain")
+        .count()
+    )
+    assert fp / 20_000 <= 0.02  # eps=0.01 + generous binomial slack
+
+
+def test_probe_plan_has_no_broadcast(spark, keyed_df):
+    """The whole point: the filter payload must move through the shard
+    shuffle (once per shard), never a BroadcastExchange (VERDICT r1 #1)."""
+    filters = build_sharded_bloom(
+        keyed_df, "k", n_shards=4, expected_distinct=20_000
+    )
+    probed = sharded_might_contain(keyed_df, "k", filters, 4)
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" not in plan
+    assert "FlatMapCoGroupsInArrow" in plan or "CoGroup" in plan
+
+
+def test_salted_build_bitwise_equals_unsalted(spark, keyed_df):
+    fac = lambda: BloomFilter(5_000, 0.01, enforce_capacity=False)
+    plain = {
+        r["shard"]: r["sketch"]
+        for r in build_sharded_sketch(keyed_df, "k", 4, fac).collect()
+    }
+    salted = {
+        r["shard"]: r["sketch"]
+        for r in build_sharded_sketch(keyed_df, "k", 4, fac, salt=5).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for s in plain:
+        a = sketch_from_bytes(plain[s])
+        b = sketch_from_bytes(salted[s])
+        assert (a.bits == b.bits).all()  # OR-merge is exact under salting
+        assert a.count == b.count
+
+
+def test_string_keys_and_missing_shard(spark):
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "k string"
+    )
+    filters = build_sharded_sketch(
+        df, "k", 16, lambda: BloomFilter(100, 0.01, enforce_capacity=False)
+    )
+    # with 3 keys over 16 shards most shards have NO filter row: probes
+    # routed there must come back false, not crash
+    probes = spark.createDataFrame(
+        [("alpha",)] + [(f"nope-{i}",) for i in range(20)], "k string"
+    )
+    got = {
+        r["k"]: r["might_contain"]
+        for r in sharded_might_contain(probes, "k", filters, 16).collect()
+    }
+    assert got["alpha"] is True
+    assert sum(1 for k, v in got.items() if k != "alpha" and v) <= 1
+
+
+def test_sharded_semi_join_exact(spark, keyed_df):
+    small = keyed_df.where(F.col("k") % 13 == 0).distinct()
+    filters = build_sharded_bloom(
+        small, "k", 4, expected_distinct=2_000, err_rate=0.01
+    )
+    got = sharded_semi_join(keyed_df, "k", small, "k", filters, 4)
+    expect = keyed_df.join(small, "k", "left_semi")
+    assert got.count() == expect.count()
+
+
+def test_persist_and_reload_roundtrip(spark, keyed_df, tmp_path):
+    from sprout_spark.sources.sketch_store import (
+        load_grouped_sketches,
+        save_grouped_sketches,
+    )
+
+    filters = build_sharded_bloom(
+        keyed_df, "k", 4, expected_distinct=20_000
+    )
+    path = str(tmp_path / "sharded")
+    save_grouped_sketches(filters, path)
+    back = load_grouped_sketches(spark, path)
+    probed = sharded_might_contain(keyed_df.distinct(), "k", back, 4)
+    assert probed.where("might_contain").count() == keyed_df.distinct().count()
