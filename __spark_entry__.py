@@ -148,15 +148,28 @@ def q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cms_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy hitters (>5% of stream) from the CMS match the exact set.
-    CMS over-counts, so with ε ≪ gap the approximate set is exact."""
+    """Heavy hitters (>5% of stream), candidate-free: ONE scan builds a
+    Misra-Gries summary (enumerates a guaranteed superset of the heavy
+    keys — no driver-side distinct().collect(), works at any key
+    cardinality) plus a CMS; the CMS prunes the MG candidates (est ≥ cnt,
+    so it never drops a true hitter), then one broadcast semi join
+    confirms exactly."""
+    from sprout_spark.sketch import MisraGries
+    from sprout_spark.spark.aggregate import build_sketches
+
     events = load(spark, sf_dir, "events")
-    cms = build_sketch(events, "event_type", lambda: CountMinSketch(0.0001, 0.01))
-    cands = [r["event_type"] for r in events.select("event_type").distinct().collect()]
-    hh = cms.heavy_hitters(cands, threshold=0.05)  # superset: est >= cnt always
+    sks = build_sketches(
+        events,
+        {
+            "mg": ("event_type", lambda: MisraGries(k=64)),
+            "cms": ("event_type", lambda: CountMinSketch(0.0001, 0.01)),
+        },
+    )
+    mg, cms = sks["mg"], sks["cms"]
+    cands = [v for v, _, _ in mg.heavy_hitters(0.05)]  # superset (MG bound)
+    hh = cms.heavy_hitters(cands, threshold=0.05)  # still a superset
     if not hh:
         return spark.createDataFrame([], "event_type string")
-    # exact confirm of the pruned candidate set (sketch prunes, never misses)
     cand_df = spark.createDataFrame([(t,) for t, _ in hh], "event_type string")
     thresh = 0.05 * cms.total
     return (
@@ -164,6 +177,29 @@ def q_cms_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= thresh)
+        .select("event_type")
+    )
+
+
+def q_mg_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (>5%): distributed build via the same
+    partial/tree-merge skeleton as every sketch, candidates confirmed
+    exactly with one semi join — matches the exact HAVING oracle."""
+    from sprout_spark.sketch import MisraGries
+
+    events = load(spark, sf_dir, "events")
+    mg = build_sketch(events, "event_type", lambda: MisraGries(k=64))
+    cands = mg.heavy_hitters(0.05)
+    if not cands:
+        return spark.createDataFrame([], "event_type string")
+    cand_df = spark.createDataFrame(
+        [(v,) for v, _, _ in cands], "event_type string"
+    )
+    return (
+        events.join(F.broadcast(cand_df), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 0.05 * mg.total)
         .select("event_type")
     )
 
@@ -399,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_bounds": q_cms_event_type_bounds,
         "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
+        "mg_heavy_hitter_tools": q_mg_heavy_hitter_tools,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
@@ -454,6 +491,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "cms_heavy_hitter_tools": (
+            "SELECT event_type FROM events GROUP BY event_type "
+            "HAVING count(*) >= 0.05 * (SELECT count(*) FROM events)"
+        ),
+        "mg_heavy_hitter_tools": (
             "SELECT event_type FROM events GROUP BY event_type "
             "HAVING count(*) >= 0.05 * (SELECT count(*) FROM events)"
         ),

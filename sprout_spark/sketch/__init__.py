@@ -6,6 +6,7 @@ from .bottomk import BottomKSample
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
+from .misra_gries import MisraGries
 from .scalable_bloom import GROWTH_LARGE, GROWTH_SMALL, ScalableBloomFilter
 from .tdigest import TDigest
 
@@ -15,6 +16,7 @@ __all__ = [
     "sketch_from_bytes",
     "BloomFilter",
     "BottomKSample",
+    "MisraGries",
     "BloomCapacityError",
     "bloom_geometry",
     "ScalableBloomFilter",

@@ -324,3 +324,89 @@ def test_bottomk_roundtrip():
     assert back.sample() == s.sample()
     assert back.estimate_distinct() == s.estimate_distinct()
     assert back.count == s.count
+
+
+# ----------------------------------------------------------------- Misra-Gries
+
+
+def _zipf_stream(n, n_keys, seed=3):
+    rng = np.random.RandomState(seed)
+    # heavy skew: key i with prob ~ 1/(i+1)^1.3
+    p = 1.0 / np.arange(1, n_keys + 1) ** 1.3
+    p /= p.sum()
+    return [f"k{i}" for i in rng.choice(n_keys, size=n, p=p)]
+
+
+def test_mg_never_overcounts_and_deficit_bound():
+    from collections import Counter
+
+    from sprout_spark.sketch import MisraGries
+
+    stream = _zipf_stream(50_000, 500)
+    truth = Counter(stream)
+    mg = MisraGries(k=32)
+    # feed in chunks (mimics Arrow batches)
+    for i in range(0, len(stream), 7_000):
+        mg.update_values(stream[i : i + 7_000])
+    assert mg.total == len(stream)
+    assert mg.deficit <= len(stream) // (mg.k + 1)
+    for v, c in truth.items():
+        est = mg.estimate(v)
+        assert est <= c  # never over
+        assert c <= est + mg.deficit  # bounded under
+
+
+def test_mg_heavy_hitters_superset_and_candidate_free():
+    from collections import Counter
+
+    from sprout_spark.sketch import MisraGries
+
+    stream = _zipf_stream(80_000, 1000, seed=9)
+    truth = Counter(stream)
+    mg = MisraGries(k=64)
+    mg.update_values(stream)
+    phi = 0.03
+    true_hh = {v for v, c in truth.items() if c >= phi * len(stream)}
+    cand = {v for v, _, _ in mg.heavy_hitters(phi)}
+    assert true_hh <= cand  # guaranteed superset, no candidates supplied
+    assert len(cand) <= mg.k
+
+
+def test_mg_merge_matches_single_build_bounds():
+    from collections import Counter
+
+    from sprout_spark.sketch import MisraGries, sketch_from_bytes
+
+    stream = _zipf_stream(60_000, 400, seed=5)
+    truth = Counter(stream)
+    parts = [stream[i::4] for i in range(4)]
+    sks = []
+    for p in parts:
+        m = MisraGries(k=48)
+        m.update_values(p)
+        sks.append(m)
+    merged = sks[0]
+    for s in sks[1:]:
+        merged = merged.merge(s)
+    assert merged.total == len(stream)
+    assert merged.deficit <= len(stream) // (merged.k + 1)
+    for v, c in truth.items():
+        est = merged.estimate(v)
+        assert est <= c <= est + merged.deficit
+    # wire-format roundtrip preserves everything
+    back = sketch_from_bytes(merged.to_bytes())
+    assert back.counters == merged.counters
+    assert back.total == merged.total and back.deficit == merged.deficit
+
+
+def test_mg_int_and_null_keys():
+    import pyarrow as pa
+
+    from sprout_spark.sketch import MisraGries
+
+    mg = MisraGries(k=8)
+    mg.update_arrow(pa.array([1, 1, 2, None, None, None], pa.int64()))
+    assert mg.estimate(1) == 2
+    assert mg.counters.get(None) == 3
+    with pytest.raises(TypeError):
+        mg.update_arrow(pa.array([1.5], pa.float64()))
