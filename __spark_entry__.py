@@ -340,13 +340,18 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: hamming≤3 has no SQL oracle)."""
-    from sprout_spark.operators.dedup import simhash_near_dup_pairs
+    """SimHash near-dup pairs via the portable md5 signature (pure JVM
+    expressions, bit-identical in DuckDB): Spark runs 16-bit banding +
+    hamming<=3 verify, the oracle computes ALL pairs' hamming — equality
+    proves the pigeonhole banding has total recall. The murmur mapInArrow
+    signature kernel (simhash_signatures) is the throughput path and is
+    pytest-covered."""
+    from sprout_spark.operators.dedup import simhash_near_dup_pairs_portable
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).select(
-        "a", "b", "hamming"
-    )
+    return simhash_near_dup_pairs_portable(
+        docs, "doc_id", "text", max_hamming=3
+    ).select("a", "b", "hamming")
 
 
 def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,11 +373,13 @@ def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs sharing a winnowing fingerprint (rows-only)."""
-    from sprout_spark.functions.text import document_fingerprints
+    """Docs sharing a winnowing fingerprint, portable md5 variant (exact
+    DuckDB oracle; the murmur mapInArrow kernel document_fingerprints is
+    the throughput path, pytest-covered)."""
+    from sprout_spark.functions.text import document_fingerprints_portable
 
     docs = load(spark, sf_dir, "documents")
-    fps = document_fingerprints(docs, "doc_id", "text")
+    fps = document_fingerprints_portable(docs, "doc_id", "text")
     l, r = fps.alias("l"), fps.alias("r")
     return (
         l.join(r, "fp")
@@ -471,6 +478,91 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
 """
 
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """All-pairs hamming over the portable md5 SimHash — DuckDB mirror of
+    simhash_signatures_portable (same tokenization, same md5 halves, same
+    majority-vote bits). Spark's banded result equals this iff the 4-band
+    pigeonhole has total recall at hamming<=3 (it must)."""
+    hsums = ", ".join(
+        f"sum((hi >> {j}) & 1) AS h{j}, sum((lo >> {j}) & 1) AS l{j}"
+        for j in range(32)
+    )
+    hsig = " + ".join(
+        f"CASE WHEN 2*h{j} > n THEN {1 << j} ELSE 0 END" for j in range(32)
+    )
+    lsig = " + ".join(
+        f"CASE WHEN 2*l{j} > n THEN {1 << j} ELSE 0 END" for j in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split_regex(text, '\\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT id, ('0x'||substr(md5(tok),1,8))::BIGINT AS hi,
+             ('0x'||substr(md5(tok),9,8))::BIGINT AS lo
+  FROM tok WHERE tok != ''
+),
+agg AS (SELECT id, count(*) AS n, {hsums} FROM h GROUP BY id),
+sig AS (SELECT id, CAST({hsig} AS BIGINT) AS hi, CAST({lsig} AS BIGINT) AS lo
+        FROM agg)
+SELECT a, b, hamming FROM (
+  SELECT l.id AS a, r.id AS b,
+         bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS hamming
+  FROM sig l JOIN sig r ON l.id < r.id
+) WHERE hamming <= {max_hamming}
+"""
+
+
+def _fingerprint_oracle_sql(gram: int = 8, keep: int = 4) -> str:
+    """DuckDB mirror of document_fingerprints_portable + the shared-fp
+    pair join."""
+    return f"""
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest([('0x'||substr(md5(substr(text, i, {gram})),1,15))::BIGINT
+                 for i in range(1, length(text) - {gram - 2})]) AS fp
+  FROM documents WHERE length(text) >= {gram}
+),
+ranked AS (
+  SELECT id, fp, row_number() OVER (PARTITION BY id ORDER BY fp) AS rn FROM g
+),
+fps AS (SELECT DISTINCT id, fp FROM ranked WHERE rn <= {keep})
+SELECT DISTINCT l.id AS a, r.id AS b
+FROM fps l JOIN fps r ON l.fp = r.fp AND l.id < r.id
+"""
+
+
+def _lang_id_oracle_sql(min_hits: int = 2) -> str:
+    """DuckDB mirror of functions.text.language_id: same tokenizer regex,
+    same stopword lists, same argmax tie-break order, same 'und' floor."""
+    from sprout_spark.functions.text import _STOPWORDS
+
+    pat = "[^a-zàâçéèêëîïôûùüÿñöäß']+".replace("'", "''")  # SQL-escape '
+    hits = ", ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"])) AS hits_{lang}"
+        for lang, words in _STOPWORDS.items()
+    )
+    langs = list(_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    case = (
+        f"CASE WHEN {best} < {min_hits} THEN 'und' "
+        + " ".join(f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '{pat}')) AS toks
+  FROM documents
+),
+h AS (SELECT doc_id, {hits} FROM t)
+SELECT doc_id, {case} AS lang_guess FROM h
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"(CAST({q} AS DOUBLE), true)" for q in _QS)
     return {
@@ -522,9 +614,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_near_dup_pairs": _JACCARD_PAIRS_SQL,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
-        # simhash_dup_pairs / lang_id_documents / fingerprint_shared:
-        # intentionally no oracle (heuristics with no SQL equivalent);
-        # the driver records rows-only checks and pytest covers semantics.
+        # the three r1 no_oracle queries now run their portable md5-based
+        # variants, which DuckDB reproduces bit-for-bit (md5 is the one
+        # hash both engines share); the murmur kernels remain the
+        # throughput path, covered by pytest
+        "simhash_dup_pairs": _simhash_oracle_sql(3),
+        "lang_id_documents": _lang_id_oracle_sql(2),
+        "fingerprint_shared": _fingerprint_oracle_sql(8, 4),
         "text_stats_documents": (
             "SELECT doc_id, length(text) AS n_chars, "
             "CASE WHEN length(trim(text)) = 0 THEN 0 "

@@ -104,6 +104,45 @@ def language_id(df: DataFrame, text_col: str, min_hits: int = 2) -> DataFrame:
     return out.drop(*[f"_hits_{l}" for l in langs])
 
 
+def document_fingerprints_portable(
+    df: DataFrame, id_col: str, text_col: str, gram: int = 8, keep: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints, portable contract variant: min-``keep``
+    md5-based hashes of character ``gram``-grams, built ENTIRELY from JVM
+    expressions (transform+sequence gram expansion, md5, window min-k) —
+    reproducible in any engine with md5 (DuckDB oracle in
+    ``__spark_entry__``). ``document_fingerprints`` (the murmur mapInArrow
+    kernel) is the single-pass throughput path for 100 TB runs.
+
+    Output: (id, fp bigint) — fp is the first 60 md5 bits (15 hex chars),
+    positive-int64-safe in both engines."""
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    grams = (
+        df.where(F.length(t) >= gram)
+        .select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {gram - 1}),"
+                    f" i -> substring({text_col}, i, {gram}))"
+                )
+            ).alias("g"),
+        )
+    )
+    hashed = grams.select(
+        "id",
+        F.expr("cast(conv(substring(md5(g),1,15),16,10) as bigint)").alias("fp"),
+    )
+    w = Window.partitionBy("id").orderBy("fp")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= keep)
+        .select("id", "fp")
+    )
+
+
 def _gram_window_hashes(
     arr: pa.Array, gram: int, seed: int = 1
 ) -> tuple[np.ndarray, np.ndarray]:

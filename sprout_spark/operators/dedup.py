@@ -283,6 +283,93 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).mapInArrow(fn, "id bigint, simhash bigint")
 
 
+def simhash_signatures_portable(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, hi bigint, lo bigint): 64-bit SimHash as two 32-bit halves,
+    built ENTIRELY from JVM expressions over ``md5`` — no Python anywhere,
+    and bit-for-bit reproducible in any engine with md5 (DuckDB oracle in
+    ``__spark_entry__``). Per-token hash = first/second 8 hex chars of
+    md5; bit j of a half is 1 iff more than half the tokens (with
+    multiplicity) have that hash bit set (ties -> 0).
+
+    This is the *portable contract* variant; ``simhash_signatures`` (the
+    murmur mapInArrow kernel) is the single-pass throughput path for
+    100 TB runs — same banding/verify machinery downstream."""
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select(
+        "id",
+        F.expr("cast(conv(substring(md5(tok),1,8),16,10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substring(md5(tok),9,8),16,10) as bigint)").alias("lo"),
+    )
+    aggs = [F.count("*").alias("n")]
+    for j in range(32):
+        aggs.append(
+            F.sum(F.shiftright("hi", j).bitwiseAND(F.lit(1))).alias(f"h{j}")
+        )
+        aggs.append(
+            F.sum(F.shiftright("lo", j).bitwiseAND(F.lit(1))).alias(f"l{j}")
+        )
+    per = hashed.groupBy("id").agg(*aggs)
+
+    def sig(prefix: str):
+        terms = [
+            F.when(
+                2 * F.col(f"{prefix}{j}") > F.col("n"), F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("bigint")
+
+    return per.select("id", sig("h").alias("hi"), sig("l").alias("lo"))
+
+
+def simhash_near_dup_pairs_portable(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs from the portable md5 SimHash: candidates share one
+    of four 16-bit bands (pigeonhole => total recall at hamming<=3), then
+    exact Hamming verify, all JVM-side. Against an all-pairs SQL oracle
+    this *proves* the banding loses nothing."""
+    if max_hamming > 3:
+        raise ValueError("4-band pigeonhole guarantees recall only up to 3")
+    sigs = simhash_signatures_portable(df, id_col, text_col)
+    mask = F.lit(0xFFFF)
+    bands = sigs.select(
+        "id",
+        "hi",
+        "lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("hi").bitwiseAND(mask).alias("bh")),
+                F.struct(F.lit(1).alias("band"), F.shiftright("hi", 16).bitwiseAND(mask).alias("bh")),
+                F.struct(F.lit(2).alias("band"), F.col("lo").bitwiseAND(mask).alias("bh")),
+                F.struct(F.lit(3).alias("band"), F.shiftright("lo", 16).bitwiseAND(mask).alias("bh")),
+            )
+        ).alias("e"),
+    ).select("id", "hi", "lo", "e.band", "e.bh")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(r, ["band", "bh"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.expr("bit_count(l.hi ^ r.hi) + bit_count(l.lo ^ r.lo)").alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
