@@ -389,6 +389,41 @@ def q_fingerprint_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only multimodal aggregation: per-kind counts + pixel
+    totals never touch the payload column (Catalyst prunes the blob —
+    asserted on a real parquet scan in tests/test_pipeline_ops.py)."""
+    from sprout_spark.operators.multimodal import media_from_documents
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum((F.col("width") * F.col("height")).cast("bigint")).alias(
+            "total_px"
+        ),
+    )
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image features through the full mapInArrow decode kernel (fake
+    codec = bytes-as-pixels, deterministic): per-image pixel count + mean
+    pixel, exactly reproducible in SQL from the source text since the
+    derived payload is the utf-8 text and the geometry never pads."""
+    from sprout_spark.operators.multimodal import (
+        extract_image_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    feats = extract_image_features(media)
+    dims = media.select(
+        "media_id", (F.col("width") * F.col("height")).cast("bigint").alias("n_px")
+    )
+    return feats.join(dims, "media_id").select(
+        "media_id", "n_px", F.col("mean").alias("mean_px")
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding (exact)."""
     from sprout_spark.operators.similarity import cosine_topk
@@ -456,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": q_text_stats_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_shared": q_fingerprint_shared,
+        "media_metadata_prune": q_media_metadata_prune,
+        "media_image_features": q_media_image_features,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_recall": q_ann_lsh_recall,
     }
@@ -634,6 +671,20 @@ def oracle_sql() -> dict[str, str]:
             "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
             "AS n_upper "
             "FROM documents"
+        ),
+        "media_metadata_prune": (
+            "SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN "
+            "'audio' ELSE 'video' END AS kind, count(*) AS n_media, "
+            "CAST(sum(8 * (length(text) // 16)) AS BIGINT) AS total_px "
+            "FROM documents GROUP BY 1"
+        ),
+        "media_image_features": (
+            "SELECT doc_id AS media_id, "
+            "CAST(8 * (length(text) // 16) AS BIGINT) AS n_px, "
+            "list_aggregate(list_transform(string_split(substr(text, 1, "
+            "CAST(8 * (length(text) // 16) AS INT)), ''), x -> ord(x)), "
+            "'avg') AS mean_px "
+            "FROM documents WHERE doc_id % 3 = 0"
         ),
         "ann_topk_cosine": (
             "SELECT vec_id FROM ("

@@ -6,22 +6,29 @@ stubbed two ways (clearly marked):
 
 * ``decode="strict"`` raises ``NotImplementedError`` (production would
   plug Pillow/torchaudio/PyAV here);
-* ``decode="fake"`` (default, used by tests) produces a deterministic
-  fake decode — bytes reinterpreted as pixels/samples — so the Spark-side
-  contract (schema, Arrow batch shape, partitioning, UDF signatures) is
-  fully real and tested end-to-end.
+* ``decode="fake"`` (default, used by tests and the oracle queries)
+  treats the payload bytes as pixels/samples — deterministic, so the
+  Spark-side contract (schema, Arrow batch shape, partitioning, UDF
+  signatures, feature math) is fully real, tested end-to-end, and
+  oracle-checkable.
 
 Design rules that survive 100 TB:
 
 * media bytes stay in one ``binary`` column; metadata is typed columns —
   Parquet/Iceberg store the blob column contiguously and Catalyst prunes
-  it away for metadata-only queries (never pay blob IO to count rows);
-* all kernels are ``mapInArrow`` over RecordBatches: one Python crossing
-  per batch, blobs move as Arrow buffers, not pickled rows;
+  it away for metadata-only queries (never pay blob IO to count rows;
+  asserted on a real parquet scan in ``tests/test_pipeline_ops.py``);
+* all kernels are ``mapInArrow`` over RecordBatches and consume the
+  payload column as numpy views over the Arrow binary buffers (flat data
+  + offsets) — blobs are never pickled into per-row Python objects, and
+  per-row feature math is one cumulative-sum + gather pass per batch;
 * decode output is feature-sized, not media-sized — decode + reduce in
   the same pass so shuffles carry features (KBs) never frames (MBs);
 * ``repartition_by_bytes`` splits by cumulative blob size, not row count
-  (1000 rows of 4K video ≠ 1000 rows of thumbnails).
+  (1000 rows of 4K video ≠ 1000 rows of thumbnails), with a two-phase
+  deterministic plan: per-group byte subtotals (tiny) → group offsets →
+  in-group running sums under a partitioned window. No single-task
+  global window, no driver-side collect of data rows.
 """
 
 from __future__ import annotations
@@ -53,22 +60,64 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode_image(payload: bytes, w: int, h: int) -> np.ndarray:
-    """STUB: deterministic fake decode — bytes as grayscale pixels.
-    A real deployment replaces this with an actual codec."""
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    need = w * h
-    if len(buf) < need:
-        buf = np.pad(buf, (0, need - len(buf)))
-    return buf[:need].reshape(h, w).astype(np.float32)
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the ``documents`` driver
+    table (payload = utf-8 text bytes, kind cycles with doc_id, geometry
+    from the text length) — every downstream feature is therefore
+    SQL-oracle-able against ``documents`` itself. width*height is sized
+    under the byte length so the fake decode never pads."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("raw").alias("fmt"),
+        F.lit(8).alias("width"),
+        F.floor(F.length("text") / 16).cast("int").alias("height"),
+        F.lit(0).alias("sample_rate"),
+        F.lit(2).alias("n_frames"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _binary_views(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow binary array → (flat uint8 data, int64 starts, int64 lens)
+    without per-row Python: numpy views over the offsets + data buffers.
+    Null payloads behave as empty."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = np.diff(offsets)
+    if arr.null_count:
+        nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
+        lens = lens.copy()
+        lens[nulls] = 0
+    return data, offsets[:-1], lens
 
 
 def extract_image_features(
     df: DataFrame, decode: str = "fake", resize_to: int = 8
 ) -> DataFrame:
-    """Decode → resize → feature-extract in ONE pass. Output is
-    feature-sized: (media_id, mean double, std double, thumb array<float>).
-    """
+    """Decode → resize → feature-extract in ONE pass, feature-sized output
+    (media_id, mean double, std double, thumb array<float>).
+
+    STUB NOTE: ``fake`` decode reads payload bytes as w×h grayscale pixels
+    (zero-padded if short); a real deployment swaps in a codec at the
+    marked line. All surrounding math is vectorized over the whole batch:
+    means/stds from two cumulative sums, thumbnails from one fancy gather
+    — zero per-row Python, blobs stay Arrow buffers."""
     if decode == "strict":
         raise NotImplementedError(
             "no image codec in this environment; plug a real decoder here"
@@ -76,26 +125,42 @@ def extract_image_features(
 
     def fn(batches):
         for batch in batches:
-            d = batch.to_pydict()
-            ids, means, stds, thumbs = [], [], [], []
-            for mid, w, h, payload in zip(
-                d["media_id"], d["width"], d["height"], d["payload"]
-            ):
-                img = _fake_decode_image(payload or b"", w, h)
-                # nearest-neighbor "resize" to resize_to x resize_to
-                yi = np.linspace(0, img.shape[0] - 1, resize_to).astype(int)
-                xi = np.linspace(0, img.shape[1] - 1, resize_to).astype(int)
-                thumb = img[np.ix_(yi, xi)]
-                ids.append(mid)
-                means.append(float(img.mean()))
-                stds.append(float(img.std()))
-                thumbs.append(thumb.ravel().tolist())
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            ws = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            # <-- a real codec would decode batch.column(3) here; the fake
+            # path reads the bytes directly as pixels
+            data, starts, lens = _binary_views(batch.column(3))
+            need = np.maximum(ws * hs, 1)
+            used = np.minimum(lens, need)  # bytes beyond `used` pad as 0
+            cs = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
+            cs2 = np.concatenate(
+                [[0], np.cumsum(data.astype(np.int64) ** 2, dtype=np.int64)]
+            )
+            s = cs[starts + used] - cs[starts]
+            s2 = cs2[starts + used] - cs2[starts]
+            mean = s / need
+            std = np.sqrt(np.maximum(s2 / need - mean**2, 0.0))
+            # nearest-neighbor thumbnail: one (n, R, R) gather
+            r = resize_to
+            frac = np.arange(r, dtype=np.float64) / max(r - 1, 1)
+            yi = (frac[None, :] * (hs - 1)[:, None]).astype(np.int64)
+            xi = (frac[None, :] * (ws - 1)[:, None]).astype(np.int64)
+            pix = yi[:, :, None] * ws[:, None, None] + xi[:, None, :]
+            valid = pix < lens[:, None, None]
+            src = np.minimum(starts[:, None, None] + pix, max(len(data) - 1, 0))
+            thumb = np.where(valid, data[src], 0).astype(np.float32)
             yield pa.RecordBatch.from_pydict(
                 {
                     "media_id": pa.array(ids, pa.int64()),
-                    "mean": pa.array(means, pa.float64()),
-                    "std": pa.array(stds, pa.float64()),
-                    "thumb": pa.array(thumbs, pa.list_(pa.float32())),
+                    "mean": pa.array(mean, pa.float64()),
+                    "std": pa.array(std, pa.float64()),
+                    "thumb": pa.array(
+                        list(thumb.reshape(n, r * r)), pa.list_(pa.float32())
+                    ),
                 }
             )
 
@@ -109,31 +174,41 @@ def extract_image_features(
 
 
 def sample_video_frames(df: DataFrame, every: int = 2, decode: str = "fake") -> DataFrame:
-    """Frame sampling: one output row per kept frame, feature-sized.
-    Output: (media_id, frame_idx, mean double)."""
+    """Frame sampling: one output row per kept frame, feature-sized
+    (media_id, frame_idx, mean double). Vectorized: the flat kept-frame
+    list is built with repeat/arange over the batch, frame means come
+    from one cumulative sum — zero per-row Python."""
     if decode == "strict":
         raise NotImplementedError("no video codec in this environment")
 
     def fn(batches):
         for batch in batches:
-            d = batch.to_pydict()
-            ids, fidx, means = [], [], []
-            for mid, w, h, nf, payload in zip(
-                d["media_id"], d["width"], d["height"], d["n_frames"], d["payload"]
-            ):
-                buf = np.frombuffer(payload or b"", dtype=np.uint8)
-                fsize = w * h
-                for f in range(0, nf, every):
-                    frame = buf[f * fsize : (f + 1) * fsize]
-                    if len(frame) == 0:
-                        continue
-                    ids.append(mid)
-                    fidx.append(f)
-                    means.append(float(frame.mean()))
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            ws = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            hs = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            nf = batch.column(3).to_numpy(zero_copy_only=False).astype(np.int64)
+            data, starts, lens = _binary_views(batch.column(4))
+            fsize = np.maximum(ws * hs, 1)
+            kept = (np.maximum(nf, 0) + every - 1) // every  # frames per row
+            total = int(kept.sum())
+            if total == 0:
+                continue
+            row = np.repeat(np.arange(n, dtype=np.int64), kept)
+            excl = np.concatenate([[0], np.cumsum(kept)[:-1]])
+            fidx = (np.arange(total, dtype=np.int64) - excl[row]) * every
+            fs = starts[row] + fidx * fsize[row]
+            fe = np.minimum(fs + fsize[row], starts[row] + lens[row])
+            present = fe > fs  # drop frames entirely past the payload
+            cs = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
+            fs, fe, row, fidx = fs[present], fe[present], row[present], fidx[present]
+            means = (cs[fe] - cs[fs]) / (fe - fs)
             yield pa.RecordBatch.from_pydict(
                 {
-                    "media_id": pa.array(ids, pa.int64()),
-                    "frame_idx": pa.array(fidx, pa.int32()),
+                    "media_id": pa.array(ids[row], pa.int64()),
+                    "frame_idx": pa.array(fidx.astype(np.int32), pa.int32()),
                     "mean": pa.array(means, pa.float64()),
                 }
             )
@@ -145,25 +220,62 @@ def sample_video_frames(df: DataFrame, every: int = 2, decode: str = "fake") -> 
     )
 
 
-def repartition_by_bytes(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
-    """Partition media rows so each partition holds ~target_bytes of
-    payload (row-count partitioning is wrong for mixed media sizes):
-    bucket id = floor(running_sum(bytes) / target), assigned over a
-    deterministic media_id order, then repartition on the bucket.
+def repartition_by_bytes(
+    df: DataFrame,
+    target_bytes: int = 128 << 20,
+    order_col: str = "media_id",
+    n_groups: int = 64,
+) -> DataFrame:
+    """Partition media rows so each partition holds ~``target_bytes`` of
+    payload (row-count partitioning is wrong for mixed media sizes).
 
-    Note: the running sum uses an unpartitioned window (one task for the
-    cumulative pass over (media_id, bytes) — 16 bytes/row); at extreme
-    row counts replace it with a per-partition-sum + offset broadcast."""
+    Two-phase, fully deterministic, no single-task pass over the data:
+
+    1. rows hash into ``n_groups`` groups on ``order_col``; one tiny
+       aggregate computes per-group byte subtotals (``n_groups`` rows),
+       whose prefix sums become group offsets — the only driver-side data
+       is that subtotal list;
+    2. a window partitioned BY GROUP (parallel, never global) computes
+       in-group running sums ordered by ``order_col``; global position =
+       group offset + in-group running sum; rows then bucket at
+       ``target/16`` granularity and hash into ``total/target``
+       partitions — each partition receives ~16 fine buckets, so the
+       balls-in-bins load concentrates near the target (max partition
+       stays within ~2x target; a 1:1 bucket map under hash placement
+       would stack whole target-sized buckets instead).
+
+    Every row's bucket depends only on (group hash, order_col, sizes), so
+    reruns are byte-stable regardless of physical partitioning."""
     from pyspark.sql.window import Window
 
-    sized = df.withColumn("_bytes", F.length("payload").cast("bigint"))
-    w = Window.orderBy("media_id").rowsBetween(Window.unboundedPreceding, 0)
-    bucketed = sized.withColumn(
-        "_bucket", F.floor((F.sum("_bytes").over(w) - 1) / F.lit(target_bytes))
+    sized = df.withColumn(
+        "_bytes", F.coalesce(F.length("payload").cast("bigint"), F.lit(0))
+    ).withColumn("_grp", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_groups)))
+    totals = {
+        r["_grp"]: r["t"]
+        for r in sized.groupBy("_grp").agg(F.sum("_bytes").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for g in sorted(totals):
+        offsets[g] = acc
+        acc += totals[g]
+    n_parts = max(1, int((acc + target_bytes - 1) // target_bytes))
+    fine = max(1, target_bytes // 16)
+    off_map = F.create_map(
+        *[F.lit(v) for g in sorted(offsets) for v in (g, offsets[g])]
     )
-    n_parts = (
-        bucketed.agg(F.max("_bucket")).collect()[0][0] or 0
-    ) + 1
-    return (
-        bucketed.repartition(int(n_parts), "_bucket").drop("_bytes", "_bucket")
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bucketed = sized.withColumn(
+        "_bucket",
+        F.floor(
+            (F.sum("_bytes").over(w) + off_map[F.col("_grp")] - 1)
+            / F.lit(fine)
+        ),
+    )
+    return bucketed.repartition(n_parts, "_bucket").drop(
+        "_bytes", "_grp", "_bucket"
     )

@@ -209,3 +209,58 @@ def test_multimodal_pipeline(spark):
     assert rep.count() == media.count()
     with pytest.raises(NotImplementedError):
         extract_image_features(media, decode="strict")
+
+
+def test_media_metadata_scan_prunes_payload(spark, tmp_path):
+    """Metadata-only queries over a real media parquet must not read the
+    blob column (the design rule the module docstring promises)."""
+    media = synthesize_media(spark, n=30)
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    q = (
+        spark.read.parquet(path)
+        .groupBy("kind")
+        .agg({"width": "sum", "*": "count"})
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "payload" not in read_schema
+    assert "kind" in read_schema and "width" in read_schema
+
+
+def test_repartition_by_bytes_balances_and_is_deterministic(spark):
+    media = synthesize_media(spark, n=120)
+    target = 8192
+    rep = repartition_by_bytes(media, target_bytes=target)
+    assert rep.count() == media.count()  # no row lost or duplicated
+    sizes = (
+        rep.withColumn("_b", F.length("payload").cast("bigint"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.sum("_b").alias("bytes"))
+        .collect()
+    )
+    total = sum(r["bytes"] for r in sizes)
+    n_expected = (total + target - 1) // target
+    # partition count matches the byte budget (+/- hash-collision slack)
+    assert len(sizes) <= n_expected
+    # no partition grossly over target: fine-bucket smoothing keeps the
+    # balls-in-bins max load near target (2x + one max row bound)
+    max_row = max(
+        r["b"]
+        for r in media.select(F.length("payload").alias("b")).collect()
+    )
+    assert all(r["bytes"] <= 2 * target + max_row for r in sizes)
+    # deterministic: identical bucket assignment on rerun
+    a = sorted(r["bytes"] for r in sizes)
+    sizes2 = (
+        repartition_by_bytes(media, target_bytes=target)
+        .withColumn("_b", F.length("payload").cast("bigint"))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.sum("_b").alias("bytes"))
+        .collect()
+    )
+    assert sorted(r["bytes"] for r in sizes2) == a
