@@ -53,7 +53,7 @@ def q_sbf_recall_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial capacity far below cardinality; scalable_bloom.go:53-81)."""
     events = load(spark, sf_dir, "events")
     sbf = build_sketch(
-        events.repartition(8),
+        events,
         "user_id",
         lambda: ScalableBloomFilter(64, 0.001 / 8, merge_mode="concat", strict=True),
     )
@@ -120,7 +120,7 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimate within ±3·1.04/√m of the exact distinct count; the
     exact count rides along so the oracle check is tied to the data."""
     events = load(spark, sf_dir, "events")
-    hll = build_sketch(events.repartition(8), "user_id", lambda: HyperLogLog(p=14))
+    hll = build_sketch(events, "user_id", lambda: HyperLogLog(p=14))
     exact = events.select("user_id").distinct().count()
     tol = 3 * 1.04 / math.sqrt(hll.m)
     ok = abs(hll.estimate() - exact) / max(exact, 1) <= tol
@@ -133,7 +133,7 @@ def q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS per-event_type estimates: never under, over by ≤ εN."""
     events = load(spark, sf_dir, "events")
     cms = build_sketch(
-        events.repartition(8), "event_type", lambda: CountMinSketch(0.0005, 0.01)
+        events, "event_type", lambda: CountMinSketch(0.0005, 0.01)
     )
     exact = events.groupBy("event_type").agg(F.count("*").alias("cnt"))
     est = exact.withColumn("est", cms_estimate(spark, cms, F.col("event_type")))
@@ -222,14 +222,14 @@ def _quantile_bound_df(spark, vals_df, col, sketch, rank_tol):
 def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     vals = events.select(F.col("value").cast("double").alias("v"))
-    td = build_sketch(vals.repartition(8), "v", lambda: TDigest(200))
+    td = build_sketch(vals, "v", lambda: TDigest(200))
     return _quantile_bound_df(spark, vals, "v", td, rank_tol=0.01)
 
 
 def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     vals = events.select(F.col("value").cast("double").alias("v"))
-    kll = build_sketch(vals.repartition(8), "v", lambda: KLL(200))
+    kll = build_sketch(vals, "v", lambda: KLL(200))
     return _quantile_bound_df(spark, vals, "v", kll, rank_tol=0.025)
 
 
@@ -237,7 +237,7 @@ def q_tdigest_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-table quantiles (lineitem.l_extendedprice)."""
     li = load(spark, sf_dir, "lineitem")
     vals = li.select(F.col("l_extendedprice").cast("double").alias("v"))
-    td = build_sketch(vals.repartition(16), "v", lambda: TDigest(200))
+    td = build_sketch(vals, "v", lambda: TDigest(200))
     return _quantile_bound_df(spark, vals, "v", td, rank_tol=0.01)
 
 
@@ -249,7 +249,7 @@ def q_bottomk_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load(spark, sf_dir, "events")
     k = 1024
-    s = build_sketch(events.repartition(8), "event_id", lambda: BottomKSample(k=k))
+    s = build_sketch(events, "event_id", lambda: BottomKSample(k=k))
     sample_ids = [int.from_bytes(b, "little", signed=True) for b in s.sample()]
     sample_df = spark.createDataFrame([(i,) for i in sample_ids], "event_id bigint")
     in_table = sample_df.join(events, "event_id", "left_semi").count()
@@ -304,7 +304,7 @@ def q_tdigest_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev_ts").isNotNull())
         .select((ts_s - prev_s).alias("latency_s"))
     )
-    td = build_sketch(lat.repartition(8), "latency_s", lambda: TDigest(200))
+    td = build_sketch(lat, "latency_s", lambda: TDigest(200))
     return _quantile_bound_df(spark, lat, "latency_s", td, rank_tol=0.01)
 
 

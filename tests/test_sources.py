@@ -59,3 +59,47 @@ def test_transcripts_fixture_invariants(spark, transcripts_path):
     t1 = generate_transcripts(200, seed=42)
     t2 = generate_transcripts(200, seed=42)
     assert t1.equals(t2)
+
+
+def test_iceberg_branch_dispatches_to_iceberg_source(spark, monkeypatch):
+    """io.load's `iceberg:` branch must route to the Iceberg data source
+    with the `<catalog.db>.<table>` identifier. The sandbox has no
+    iceberg-spark-runtime jar (checked: no iceberg jar under
+    pyspark/jars), so the live read is exercised up to Spark's
+    data-source lookup: it must fail with DATA_SOURCE_NOT_FOUND for
+    'iceberg' specifically — proving the branch is real dispatch, not
+    dead code. With the runtime jar on the classpath the same call
+    performs the production read."""
+    from sprout_spark.io import load
+
+    calls = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def load(self, ident):
+            calls["ident"] = ident
+            return "sentinel"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    out = load(FakeSpark(), "iceberg:prod_catalog.analytics", "lineitem")
+    assert out == "sentinel"
+    assert calls == {
+        "format": "iceberg",
+        "ident": "prod_catalog.analytics.lineitem",
+    }
+
+    # live dispatch against the real session: the failure must be the
+    # missing iceberg DATA SOURCE (SparkClassNotFoundException /
+    # DATA_SOURCE_NOT_FOUND), not a bug in our branch
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        load(spark, "iceberg:nocat.db", "lineitem")
+    msg = str(ei.value)
+    assert "iceberg" in msg.lower()
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
