@@ -435,6 +435,17 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine pair detection at τ=0.4 (the populated band
+    in this table — it has no engineered near-dups), JVM double-precision
+    zip_with/aggregate vs DuckDB list_cosine_similarity. The SRP-LSH
+    bucketed near-dup path is the scale variant (pytest-covered)."""
+    from sprout_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, "vec_id", "embedding", 0.4).select("a", "b")
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH ANN vs brute force: top-1 must match, top-5 recall >= 0.6
     (rows-only acceptance expressed as exact booleans)."""
@@ -494,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "ann_topk_cosine": q_ann_topk_cosine,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
     }
 
@@ -692,6 +704,12 @@ def oracle_sql() -> dict[str, str]:
             "    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
             "  ) AS sim FROM embeddings"
             ") ORDER BY sim DESC, vec_id LIMIT 10"
+        ),
+        "embedding_cosine_pairs": (
+            "SELECT l.vec_id AS a, r.vec_id AS b "
+            "FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
+            "WHERE list_cosine_similarity(l.embedding::DOUBLE[], "
+            "r.embedding::DOUBLE[]) >= 0.4"
         ),
         "ann_lsh_recall": (
             "SELECT true AS top1_match, true AS recall5_ok"

@@ -150,6 +150,32 @@ def ann_lsh_topk(
     return cosine_topk(cands, id_col, vec_col, query, k)
 
 
+def cosine_pairs_exact(
+    df: DataFrame, id_col: str, vec_col: str, min_cosine: float
+) -> DataFrame:
+    """Exact all-pairs cosine pairs (a, b, cosine), JVM-side in double
+    precision. O(n²) — this is the oracle / small-candidate verify path;
+    the scale path is :func:`embedding_near_dup_pairs`' SRP bucketing."""
+    vecs = df.select(
+        F.col(id_col).cast("bigint").alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    a = vecs.select(F.col("vid").alias("a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("vid").alias("b"), F.col("vec").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", (dot / F.greatest(na * nb, F.lit(1e-12))).cast("double"))
+        .where(F.col("cosine") >= min_cosine)
+        .select("a", "b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
