@@ -25,6 +25,15 @@ Scale notes (100 TB / 1000 executors):
 * partials are O(sketch_size) per partition regardless of row count; the
   only full-data pass is the scan itself, which stays in the JVM until the
   Arrow hand-off of the single projected column;
+* CAVEAT for full-width Bloom partials: each partition serializes the
+  whole M-bit filter, so merge-shuffle volume is P × M/8 bytes. That is
+  fine while the filter is MBs; for big filters pick one of the two
+  population-sized paths instead — ScalableBloomFilter partials with
+  ``merge_mode="concat", err_rate=ε/P`` (each partial sized to its
+  partition's rows), or ``spark.sharded.build_sharded_bloom`` (one
+  shuffle of the key column, per-shard filters sized to their shard,
+  probes need no broadcast). HLL/CMS/t-digest/KLL/MG partials are small
+  and constant — the caveat is bloom-specific;
 * the merge tree bounds driver inbound data to fanin × sketch_size — with
   the default fanin=64 and 3.6 MB bloom payloads that is ~230 MB worst
   case at one level for 4096 partitions, and two levels cover 262k
