@@ -125,6 +125,27 @@ def srp_signatures(
     ).mapInArrow(fn, "id bigint, table int, bucket bigint")
 
 
+def build_srp_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    path: str | None = None,
+) -> DataFrame:
+    """Materialize the SRP signature table once (id, table, bucket) so
+    repeated queries skip the signature pass — the persisted-index path.
+    With ``path`` the index lands as parquet (bucket-joinable by any
+    later job: ``spark.read.parquet(path)``); hyperplanes are a fixed
+    seeded family, so an index built yesterday answers today's queries."""
+    sigs = srp_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
+    if path is not None:
+        sigs.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return sigs
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -133,11 +154,20 @@ def ann_lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     n_tables: int = 8,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: SRP buckets prune the scan, exact cosine
-    re-ranks the candidates. Returns (id, cosine), best first."""
+    re-ranks the candidates. Returns (id, cosine), best first.
+
+    Pass ``index`` (from :func:`build_srp_index`, same n_planes/n_tables)
+    to reuse a persisted signature table instead of recomputing
+    signatures per query."""
     dim = len(query)
-    sigs = srp_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
+    sigs = (
+        index
+        if index is not None
+        else srp_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
+    )
     qb = srp_bucket_ids(np.asarray([query], dtype=np.float64), dim, n_planes, n_tables)
     probe = [(int(t), int(qb[0, t])) for t in range(n_tables)]
     probe_df = sigs.sparkSession.createDataFrame(probe, "table int, bucket bigint")

@@ -264,3 +264,40 @@ def test_repartition_by_bytes_balances_and_is_deterministic(spark):
         .collect()
     )
     assert sorted(r["bytes"] for r in sizes2) == a
+
+
+def test_persisted_srp_index_reuse(spark, emb, tmp_path):
+    """A persisted SRP index answers queries identically to the
+    recompute-per-query path (same seeded hyperplane family)."""
+    from sprout_spark.operators.similarity import build_srp_index
+
+    path = str(tmp_path / "srp_index")
+    idx = build_srp_index(
+        emb, "vec_id", "embedding", dim=32, n_planes=10, n_tables=8, path=path
+    )
+    q = [r["embedding"] for r in emb.where("vec_id = 2").collect()][0]
+    fresh = [
+        r["id"]
+        for r in ann_lsh_topk(
+            emb, "vec_id", "embedding", q, k=3, n_planes=10, n_tables=8
+        ).collect()
+    ]
+    reloaded = spark.read.parquet(path)
+    cached = [
+        r["id"]
+        for r in ann_lsh_topk(
+            emb, "vec_id", "embedding", q, k=3, n_planes=10, n_tables=8,
+            index=reloaded,
+        ).collect()
+    ]
+    assert fresh == cached
+    assert idx.count() == emb.count() * 8  # one row per (vector, table)
+
+
+def test_cosine_pairs_exact_threshold(spark, emb):
+    from sprout_spark.operators.similarity import cosine_pairs_exact
+
+    pairs = cosine_pairs_exact(emb, "vec_id", "embedding", 0.98).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert {(j, 100 + j) for j in range(5)} <= got
+    assert all(r["cosine"] >= 0.98 for r in pairs)
