@@ -42,7 +42,7 @@ from ..sketch.base import MergeableSketch, merge_serialized, sketch_from_bytes
 from ..sketch.bloom import BloomFilter
 from .aggregate import _update_sketch_from_arrow
 
-SHARD_ROW_SCHEMA = "shard bigint, sketch binary, rows bigint"
+SHARD_ROW_SCHEMA = "shard bigint, sketch binary, rows bigint, n_shards int"
 
 
 def shard_id(col, n_shards: int) -> Column:
@@ -82,6 +82,9 @@ def build_sharded_sketch(
                 ),
                 "sketch": pa.array([sk.to_bytes()], pa.binary()),
                 "rows": pa.array([tbl.num_rows], pa.int64()),
+                # the modulus rides with the table: probes infer it, so a
+                # build/probe mismatch (silent false negatives) can't happen
+                "n_shards": pa.array([n_shards], pa.int32()),
             }
         )
 
@@ -108,6 +111,7 @@ def build_sharded_sketch(
                     "rows": pa.array(
                         [pa.compute.sum(tbl.column("rows")).as_py()], pa.int64()
                     ),
+                    "n_shards": pa.array([n_shards], pa.int32()),
                 }
             )
 
@@ -142,11 +146,38 @@ def build_sharded_bloom(
     )
 
 
+def _resolve_n_shards(filters: DataFrame, n_shards: int | None) -> int:
+    """Take the modulus from the filter table itself (one tiny aggregate
+    over the n_shards-row table); a caller-passed value is validated.
+    Probing with the wrong modulus would route keys to shards they were
+    never added to — silent false negatives — so this is a hard error."""
+    if "n_shards" in filters.columns:
+        vals = [
+            r["n_shards"]
+            for r in filters.select("n_shards").distinct().collect()
+        ]
+        if len(vals) != 1:
+            raise ValueError(f"filter table mixes shard moduli: {sorted(vals)}")
+        stored = int(vals[0])
+        if n_shards is not None and int(n_shards) != stored:
+            raise ValueError(
+                f"n_shards={n_shards} does not match the filter table's "
+                f"build modulus {stored}"
+            )
+        return stored
+    if n_shards is None:
+        raise ValueError(
+            "filter table has no n_shards column (pre-r2 layout); pass "
+            "n_shards explicitly"
+        )
+    return int(n_shards)
+
+
 def sharded_might_contain(
     df: DataFrame,
     key_col: str,
     filters: DataFrame,
-    n_shards: int,
+    n_shards: int | None = None,
     out_col: str = "might_contain",
 ) -> DataFrame:
     """``df`` plus a boolean membership column, probed against a sharded
@@ -155,9 +186,12 @@ def sharded_might_contain(
     Plan shape: both sides shuffle on the 8-byte shard id; each cogroup
     task gets one shard's filter row + that shard's probe rows and runs
     the vectorized probe kernel. No BroadcastExchange anywhere (tested in
-    ``tests/test_sharded.py``)."""
+    ``tests/test_sharded.py``). The shard modulus is read from the filter
+    table (``n_shards`` is only needed for tables persisted before it was
+    stored)."""
     from pyspark.sql.types import StructField, StructType
 
+    n_shards = _resolve_n_shards(filters, n_shards)
     probe = df.withColumn("_shard", shard_id(F.col(key_col), n_shards))
     # copy the fields: StructType.add mutates in place, and df.schema is
     # cached on the DataFrame — appending there corrupts later plans
@@ -198,7 +232,7 @@ def sharded_semi_join(
     small: DataFrame,
     small_key: str,
     filters: DataFrame,
-    n_shards: int,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Exact left-semi join pruned by a sharded filter (the beyond-
     broadcast analog of ``probe.bloom_semi_join``): prune ``big`` by

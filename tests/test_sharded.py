@@ -29,9 +29,20 @@ def test_sharded_recall_is_total(spark, keyed_df):
     filters = build_sharded_bloom(
         keyed_df, "k", n_shards=8, expected_distinct=20_000, err_rate=0.01
     )
-    probed = sharded_might_contain(keyed_df.distinct(), "k", filters, 8)
+    # modulus inferred from the filter table (no n_shards argument)
+    probed = sharded_might_contain(keyed_df.distinct(), "k", filters)
     n = keyed_df.distinct().count()
     assert probed.where("might_contain").count() == n
+
+
+def test_probe_modulus_mismatch_raises(spark, keyed_df):
+    """Probing with a different modulus than the build would silently
+    false-negative; the stored n_shards makes it a hard error."""
+    filters = build_sharded_bloom(
+        keyed_df, "k", n_shards=8, expected_distinct=20_000
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        sharded_might_contain(keyed_df, "k", filters, n_shards=4).collect()
 
 
 def test_sharded_fpr_holds(spark, keyed_df):
