@@ -116,6 +116,42 @@ def q_bloom_fpr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_streaming_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming accumulation: fold the events table into a
+    Bloom through readStream + foreachBatch (availableNow micro-batches,
+    epoch-tracked state commits), then probe every distinct user_id —
+    the streamed filter must show the same zero-false-negative recall as
+    the batch build (they are bitwise equal; tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from sprout_spark.streaming.accumulate import stream_sketch
+
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    with tempfile.TemporaryDirectory() as td:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")  # single-file table
+            .parquet(sf_dir)
+        )
+        q, acc = stream_sketch(
+            stream,
+            "user_id",
+            lambda: BloomFilter(n + 10, 0.001),
+            state_dir=os.path.join(td, "state"),
+            checkpoint_dir=os.path.join(td, "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        bf = acc.sketch
+    distinct = events.select("user_id").distinct()
+    return distinct.where(might_contain(spark, bf, F.col("user_id"))).select(
+        "user_id"
+    )
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimate within ±3·1.04/√m of the exact distinct count; the
     exact count rides along so the oracle check is tied to the data."""
@@ -485,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
         "sharded_bloom_recall": q_sharded_bloom_recall,
         "bloom_fpr_bound": q_bloom_fpr_bound,
+        "streaming_bloom_recall": q_streaming_bloom_recall,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_bounds": q_cms_event_type_bounds,
         "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
@@ -623,6 +660,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_fpr_bound": "SELECT true AS fpr_ok",
         "sharded_bloom_recall": "SELECT DISTINCT user_id FROM events",
+        "streaming_bloom_recall": "SELECT DISTINCT user_id FROM events",
         "hll_distinct_users": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, "
             "true AS within_bound FROM events"
