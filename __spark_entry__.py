@@ -116,6 +116,31 @@ def q_bloom_fpr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_checkpointed_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable build through the checkpoint path: partials land in a
+    lineage-stamped parquet checkpoint, a second invocation resumes
+    (completed partitions short-circuit) and must produce a bitwise-equal
+    filter; recall is then probed against all distinct user_ids."""
+    import os
+    import tempfile
+
+    from sprout_spark.spark.checkpoint import build_sketch_resumable
+
+    events = load(spark, sf_dir, "events")
+    n = events.count()
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "ck")
+        fac = lambda: BloomFilter(n + 10, 0.001)
+        first = build_sketch_resumable(events, "user_id", fac, ck, spark)
+        resumed = build_sketch_resumable(events, "user_id", fac, ck, spark)
+        assert (first.bits == resumed.bits).all()  # resume == uninterrupted
+        bf = resumed
+    distinct = events.select("user_id").distinct()
+    return distinct.where(might_contain(spark, bf, F.col("user_id"))).select(
+        "user_id"
+    )
+
+
 def q_streaming_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming accumulation: fold the events table into a
     Bloom through readStream + foreachBatch (availableNow micro-batches,
@@ -522,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_bloom_recall": q_sharded_bloom_recall,
         "bloom_fpr_bound": q_bloom_fpr_bound,
         "streaming_bloom_recall": q_streaming_bloom_recall,
+        "checkpointed_bloom_recall": q_checkpointed_bloom_recall,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_bounds": q_cms_event_type_bounds,
         "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
@@ -661,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fpr_bound": "SELECT true AS fpr_ok",
         "sharded_bloom_recall": "SELECT DISTINCT user_id FROM events",
         "streaming_bloom_recall": "SELECT DISTINCT user_id FROM events",
+        "checkpointed_bloom_recall": "SELECT DISTINCT user_id FROM events",
         "hll_distinct_users": (
             "SELECT count(DISTINCT user_id) AS exact_distinct, "
             "true AS within_bound FROM events"
