@@ -419,7 +419,10 @@ def main() -> None:
             "(reference-parity seeded murmur3) + HLL-distinct-text + "
             "CMS-tool-frequencies simultaneously (64 input files, "
             "fanin-64 single-round merge) — at two parallelism levels on the "
-            "same input, one fresh session per timed run, min of 3.\n\n"
+            "same input, one fresh session per timed run with an untimed "
+            "warm-up; slow level min-of-2, fast level min over up to 5 "
+            "tries spread across minutes (hypervisor steal windows are "
+            "minute-scale).\n\n"
             f"| level | wall sec | throughput (rows/s) |\n|---|---|---|\n"
             f"| local[{SCALING_LEVELS[0]}] | {t_small:.3f} | "
             f"{rows_flagship / t_small:,.0f} |\n"
