@@ -67,3 +67,43 @@ def test_cms_never_undercounts_property(keys):
     exact = Counter(keys)
     for k, cnt in exact.items():
         assert c.estimate(k) >= cnt
+
+
+# ------------------------------------------------------------- Misra-Gries
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=4),
+)
+def test_mg_bounds_hold_under_any_split(stream, k, n_parts):
+    """For ANY stream, ANY k, ANY partitioning: merged Misra-Gries never
+    over-counts, under-counts by at most the tracked deficit, and the
+    deficit respects N/(k+1)."""
+    from sprout_spark.sketch import MisraGries
+
+    parts = [stream[i::n_parts] for i in range(n_parts)]
+    sks = []
+    for p in parts:
+        m = MisraGries(k=k)
+        if p:
+            m.update_values(p)
+        sks.append(m)
+    merged = sks[0]
+    for s in sks[1:]:
+        merged = merged.merge(s)
+    truth = Counter(stream)
+    assert merged.total == len(stream)
+    assert merged.deficit <= len(stream) // (k + 1)
+    for v, c in truth.items():
+        est = merged.estimate(v)
+        assert est <= c
+        assert c <= est + merged.deficit
+    assert len(merged.counters) <= k
