@@ -306,23 +306,35 @@ def build_grouped_sketches(
     """
     out_schema = "key string, sketch binary, rows bigint"
 
-    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def build_group(tbl: pa.Table) -> pa.Table:
+        # Arrow-native: the value column goes straight to the sketch's
+        # vectorized update (exact int64+null handling), never through a
+        # pandas conversion
         sk = factory()
-        _update_sketch_from_pandas(sk, pdf[val_col])
-        return pd.DataFrame(
+        arr = tbl.column(val_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr):
+            _update_sketch_from_arrow(sk, arr)
+        return pa.table(
             {
-                "key": [str(pdf[key_col].iloc[0])],
-                "sketch": [sk.to_bytes()],
-                "rows": [len(pdf)],
+                "key": pa.array([tbl.column(key_col)[0].as_py()], pa.string()),
+                "sketch": pa.array([sk.to_bytes()], pa.binary()),
+                "rows": pa.array([tbl.num_rows], pa.int64()),
             }
         )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def merge_group(tbl: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "key": [pdf["key"].iloc[0]],
-                "sketch": [merge_serialized(pdf["sketch"])],
-                "rows": [int(pdf["rows"].sum())],
+                "key": pa.array([tbl.column("key")[0].as_py()], pa.string()),
+                "sketch": pa.array(
+                    [merge_serialized(tbl.column("sketch").to_pylist())],
+                    pa.binary(),
+                ),
+                "rows": pa.array(
+                    [pa.compute.sum(tbl.column("rows")).as_py()], pa.int64()
+                ),
             }
         )
 
@@ -331,11 +343,11 @@ def build_grouped_sketches(
         salted = base.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(val_col)), F.lit(salt))
         )
-        phase1 = salted.groupBy(key_col, "_salt").applyInPandas(
-            build_group, out_schema
+        phase1 = salted.groupBy(key_col, "_salt").applyInArrow(
+            lambda t: build_group(t.drop_columns(["_salt"])), out_schema
         )
-        return phase1.groupBy("key").applyInPandas(merge_group, out_schema)
-    return base.groupBy(key_col).applyInPandas(build_group, out_schema)
+        return phase1.groupBy("key").applyInArrow(merge_group, out_schema)
+    return base.groupBy(key_col).applyInArrow(build_group, out_schema)
 
 
 def grouped_estimate(
