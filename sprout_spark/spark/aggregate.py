@@ -172,6 +172,34 @@ def tree_merge(partials: DataFrame, n_partials: int, fanin: int = 64) -> DataFra
     return df
 
 
+_PARTIAL_SHUFFLE_WARN_BYTES = 1 << 30  # 1 GiB of full-width partials
+
+
+def _warn_if_partials_oversized(factory, n_partitions: int) -> None:
+    """Full-width Bloom partials shuffle P × filter_size bytes no matter
+    how few rows a partition holds. When that product crosses ~1 GiB,
+    steer the caller to the population-sized paths (SBF-concat partials
+    or build_sharded_bloom) instead of silently building a merge shuffle
+    that will dominate the job at scale."""
+    try:
+        probe = factory()
+    except Exception:
+        return
+    size = getattr(probe, "filter_size", lambda: 0)()
+    if size * max(n_partitions, 1) > _PARTIAL_SHUFFLE_WARN_BYTES:
+        import warnings
+
+        warnings.warn(
+            f"bloom partial merge shuffle is ~{size * n_partitions >> 20} MiB "
+            f"({n_partitions} partitions x {size >> 20} MiB full-width "
+            "partials); for filters this large use ScalableBloomFilter "
+            "partials (merge_mode='concat', err_rate=eps/P — partition-"
+            "sized) or spark.sharded.build_sharded_bloom (shard-sized, "
+            "broadcast-free probe)",
+            stacklevel=3,
+        )
+
+
 def build_sketch(
     df: DataFrame,
     col: str,
@@ -181,6 +209,7 @@ def build_sketch(
     """Scan → partial → tree merge → driver sketch (the full lifecycle)."""
     partials = partial_sketches(df, col, factory)
     n = df.rdd.getNumPartitions()
+    _warn_if_partials_oversized(factory, n)
     merged = tree_merge(partials, n, fanin=fanin)
     rows = merged.collect()
     if not rows:

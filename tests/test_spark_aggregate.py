@@ -315,3 +315,25 @@ def test_register_sql_probe(spark, transcripts):
         "FROM range(10000)) WHERE seen_conv(k)"
     ).collect()[0]["c"]
     assert misses / 10000 <= 0.02
+
+
+def test_oversized_bloom_partials_warn():
+    """P x full-width-filter merge volume past ~1 GiB must steer the
+    caller to the population-sized paths (VERDICT r1 scale audit #2).
+    Unit-level: actually running such a build would need ~16 GiB of
+    shuffle — the warning exists precisely so nobody does that."""
+    import warnings
+
+    from sprout_spark.sketch import BloomFilter, HyperLogLog
+    from sprout_spark.spark.aggregate import _warn_if_partials_oversized
+
+    big = lambda: BloomFilter(600_000_000, 0.001, enforce_capacity=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_if_partials_oversized(big, 16)
+        assert any("build_sharded_bloom" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _warn_if_partials_oversized(lambda: BloomFilter(10_000, 0.01), 64)
+        _warn_if_partials_oversized(lambda: HyperLogLog(p=12), 100_000)
+        assert not w
