@@ -350,6 +350,36 @@ def q_grouped_hll_tool_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_tdigest_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type t-digest medians (salted grouped build — the
+    rollup shape): each group's estimated median must sit within ±1% rank
+    of the group's exact distribution."""
+    from sprout_spark.sketch import TDigest
+    from sprout_spark.spark.aggregate import build_grouped_sketches, grouped_estimate
+
+    events = load(spark, sf_dir, "events")
+    vals = events.select("event_type", F.col("value").cast("double").alias("v"))
+    g = build_grouped_sketches(vals, "event_type", "v", lambda: TDigest(200), salt=4)
+    med = grouped_estimate(g, lambda s: s.quantile(0.5)).withColumnRenamed(
+        "key", "event_type"
+    )
+    joined = vals.join(med, "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        (F.sum((F.col("v") <= F.col("estimate")).cast("int")) / F.count("*")).alias(
+            "rank_hi"
+        ),
+        (F.sum((F.col("v") < F.col("estimate")).cast("int")) / F.count("*")).alias(
+            "rank_lo"
+        ),
+    )
+    return ranks.select(
+        "event_type",
+        (
+            (F.col("rank_lo") - 0.01 <= 0.5) & (F.lit(0.5) <= F.col("rank_hi") + 0.01)
+        ).alias("ok"),
+    )
+
+
 def q_tdigest_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event latency quantiles per user stream (the north-star
     'latency quantiles' workload): window-lag deltas → t-digest, rank
@@ -558,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample_events": q_bottomk_sample_events,
         "grouped_hll_tool_distinct": q_grouped_hll_tool_distinct,
         "tdigest_latency_quantiles": q_tdigest_latency_quantiles,
+        "grouped_tdigest_value_median": q_grouped_tdigest_value_median,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -721,6 +752,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tdigest_latency_quantiles": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "grouped_tdigest_value_median": (
+            "SELECT event_type, true AS ok FROM events GROUP BY event_type"
         ),
         "exact_dedup_documents": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
