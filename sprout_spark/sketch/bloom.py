@@ -186,14 +186,65 @@ class BloomFilter(MergeableSketch):
         self.update_values([key])
 
     # -- probe ---------------------------------------------------------------
+    def _slice_bit(self, i: int, g: np.ndarray) -> np.ndarray:
+        """Bit values of slice ``i`` for per-key hash values ``g``."""
+        idx = np.uint64(i) * np.uint64(self.m) + (g % np.uint64(self.m))
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        return (self.bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+
     def contains_packed(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Membership probe with adaptive early exit: every key checks
+        slice 0; keys already dead stop consuming hash/gather work in
+        later slices. Misses die after ~1/fill slices on average, so a
+        miss-heavy probe (the semi-join pruning case — the reference's
+        bloom-before-store elision, bloom.go:225-227) costs ~2 slice
+        probes instead of k. When nearly everything survives slice 0
+        (hit-heavy), the full-matrix path is kept — no per-key index
+        bookkeeping on the fast path. Results are identical either way."""
         n = len(lens)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        idx = self._indices(mat, lens)
-        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
-        bit = (self.bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & 1
-        return bit.all(axis=0)
+        if self.hash_mode == "km":
+            h1 = murmur3_64_packed(mat, lens, self.seeds[0])
+            h2 = murmur3_64_packed(
+                mat, lens, self.seeds[1] if self.k > 1 else np.uint64(256)
+            )
+            out = self._slice_bit(0, h1).astype(bool)
+            alive = np.flatnonzero(out)
+            if len(alive) > (n >> 1) + (n >> 2):  # hit-heavy: stay vectorized
+                g = h1 + h2
+                for i in range(1, self.k):
+                    out &= self._slice_bit(i, g).astype(bool)
+                    g += h2
+                return out
+            h1a, h2a = h1[alive], h2[alive]
+            for i in range(1, self.k):
+                if len(alive) == 0:
+                    break
+                bit = self._slice_bit(i, h1a + np.uint64(i) * h2a)
+                keep = bit != 0
+                dead = alive[~keep]
+                out[dead] = False
+                alive, h1a, h2a = alive[keep], h1a[keep], h2a[keep]
+            return out
+        # seeded (reference-parity) mode: rehash only the still-alive keys
+        # per slice — the subset hash beats k full passes once misses thin
+        # the batch
+        out = np.ones(n, dtype=bool)
+        alive = np.arange(n)
+        cur_mat, cur_lens = mat, lens
+        for i in range(self.k):
+            h = murmur3_64_packed(cur_mat, cur_lens, self.seeds[i])
+            bit = self._slice_bit(i, h)
+            keep = bit != 0
+            dead = alive[~keep]
+            out[dead] = False
+            alive = alive[keep]
+            if len(alive) == 0:
+                break
+            if not keep.all():
+                cur_mat, cur_lens = cur_mat[keep], cur_lens[keep]
+        return out
 
     def contains_arrow(self, arr) -> np.ndarray:
         mat, lens = pack_arrow(arr)
