@@ -136,11 +136,25 @@ class ScalableBloomFilter(MergeableSketch):
 
     # -- probe -------------------------------------------------------------------
     def contains_packed(self, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(lens), dtype=bool)
-        for st in self.stages:  # oldest first (scalable_bloom.go:110-117)
-            if out.all():
+        n = len(lens)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
+        # Newest (largest) stage first: geometric growth puts most keys
+        # in the latest stages, so hits resolve after ~2 stage probes and
+        # skip the rest. The reference iterates oldest-first
+        # (scalable_bloom.go:110-117) but the result is an OR over
+        # stages — probe order cannot change the answer, only the work.
+        pending = np.arange(n)
+        cur_mat, cur_lens = mat, lens
+        for st in reversed(self.stages):
+            hit = st.contains_packed(cur_mat, cur_lens)
+            out[pending[hit]] = True
+            miss = ~hit
+            if not miss.any():
                 break
-            out |= st.contains_packed(mat, lens)
+            pending = pending[miss]
+            cur_mat, cur_lens = cur_mat[miss], cur_lens[miss]
         return out
 
     def contains_arrow(self, arr) -> np.ndarray:
