@@ -7,12 +7,23 @@ from .dedup import (
     minhash_band_rows,
     near_dup_pairs,
     simhash_near_dup_pairs,
+    simhash_near_dup_pairs_portable,
     simhash_signatures,
+    simhash_signatures_portable,
     token_sets,
     verify_jaccard,
 )
+from .multimodal import (
+    extract_image_features,
+    media_from_documents,
+    repartition_by_bytes,
+    sample_video_frames,
+    synthesize_media,
+)
 from .similarity import (
     ann_lsh_topk,
+    build_srp_index,
+    cosine_pairs_exact,
     cosine_topk,
     embedding_near_dup_pairs,
     srp_signatures,
