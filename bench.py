@@ -231,6 +231,27 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, int]:
             might_contain(spark, bf_holder["bf"], F.col("l_orderkey"))
         ).count(),
     )
+    sharded_holder = {}
+
+    def sharded_build():
+        from sprout_spark.spark.sharded import build_sharded_bloom
+
+        if "f" in sharded_holder:  # min-of-2 rerun: drop the prior cache
+            sharded_holder["f"].unpersist()
+        sharded_holder["f"] = build_sharded_bloom(
+            li, "l_orderkey", n_shards=8, expected_distinct=n_li + 10
+        ).cache()
+        sharded_holder["f"].count()  # materialize the filter table
+
+    def sharded_probe():
+        from sprout_spark.spark.sharded import sharded_might_contain
+
+        sharded_might_contain(li, "l_orderkey", sharded_holder["f"]).where(
+            "might_contain"
+        ).count()
+
+    timed("sharded_bloom_build_lineitem", sharded_build)
+    timed("sharded_bloom_probe_lineitem", sharded_probe)
     timed(
         "hll_build_lineitem",
         lambda: build_sketch(li, "l_orderkey", lambda: HyperLogLog(p=14), fanin=16),
