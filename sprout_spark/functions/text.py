@@ -154,25 +154,9 @@ def _gram_window_hashes(
     Returns (hashes uint64 flat (W,), counts int64 (n,)) where row i owns
     ``hashes[cum(counts)[i-1]:cum(counts)[i]]``.
     """
-    import pyarrow.compute as pc
+    from ..hashing import arrow_buffer_views
 
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
-    bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
-        arr.offset : arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.zeros(0, dtype=np.uint8)
-    )
-    lens = np.diff(offsets)
-    if arr.null_count:
-        nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
-        lens = lens.copy()
-        lens[nulls] = 0
+    data, offsets, lens = arrow_buffer_views(arr)
     counts = np.maximum(lens - gram + 1, 0)
     total = int(counts.sum())
     if total == 0:

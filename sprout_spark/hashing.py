@@ -164,6 +164,38 @@ def pack_keys(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.nda
     return mat.reshape(n, w), lens
 
 
+def arrow_buffer_views(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy numpy views over an Arrow string/binary array's buffers:
+    (flat uint8 data, int64 offsets (n+1,), int64 lens (n,)).
+
+    Null slots get len 0 (their offsets are not guaranteed zero-width).
+    Shared by every variable-length kernel (key packing, gram windows,
+    media payloads) so slicing/offset/null handling lives in ONE place."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    large = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
+        arr.type
+    )
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64 if large else np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    lens = np.diff(offsets)
+    if arr.null_count:
+        nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
+        lens = lens.copy()
+        lens[nulls] = 0
+    return data, offsets, lens
+
+
 def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     """Pack a pyarrow String/Binary/LargeString array without copies of the
     underlying data buffer.  Nulls hash as empty strings.
@@ -213,30 +245,15 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
             mat[nulls] = 0
             lens[nulls] = 0
         return mat, lens
-    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
-        off_dtype = np.int64
-    else:
-        off_dtype = np.int32
-    bufs = arr.buffers()
-    # bufs: [validity, offsets, data]
-    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
-        arr.offset : arr.offset + len(arr) + 1
-    ]
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.zeros(0, dtype=np.uint8)
-    )
+    data, offsets, lens0 = arrow_buffer_views(arr)
     mat, lens = pack_keys(data, offsets)
     if arr.null_count:
         # NULLs hash as the empty key (a null slot's offsets are not
-        # guaranteed zero-width, so mask explicitly)
-        import pyarrow.compute as pc
-
-        nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
-        mat[nulls] = 0
-        lens = lens.copy()
-        lens[nulls] = 0
+        # guaranteed zero-width, so zero the packed bytes explicitly)
+        masked = (lens0 == 0) & (lens > 0)
+        if masked.any():
+            mat[masked] = 0
+        lens = lens0
     return mat, lens
 
 

@@ -83,27 +83,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 def _binary_views(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow binary array → (flat uint8 data, int64 starts, int64 lens)
-    without per-row Python: numpy views over the offsets + data buffers.
-    Null payloads behave as empty."""
-    import pyarrow.compute as pc
+    without per-row Python: numpy views over the offsets + data buffers
+    (shared helper in hashing.py). Null payloads behave as empty."""
+    from ..hashing import arrow_buffer_views
 
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-    bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
-        arr.offset : arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = (
-        np.frombuffer(bufs[2], dtype=np.uint8)
-        if bufs[2] is not None
-        else np.zeros(0, dtype=np.uint8)
-    )
-    lens = np.diff(offsets)
-    if arr.null_count:
-        nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
-        lens = lens.copy()
-        lens[nulls] = 0
+    data, offsets, lens = arrow_buffer_views(arr)
     return data, offsets[:-1], lens
 
 
@@ -144,14 +128,17 @@ def extract_image_features(
             s2 = cs2[starts + used] - cs2[starts]
             mean = s / need
             std = np.sqrt(np.maximum(s2 / need - mean**2, 0.0))
-            # nearest-neighbor thumbnail: one (n, R, R) gather
+            # nearest-neighbor thumbnail: one (n, R, R) gather. Degenerate
+            # geometry (width or height 0) must clamp to 0 — a negative
+            # yi/xi would otherwise pass the `< lens` check and gather
+            # bytes from the PREVIOUS row's payload
             r = resize_to
             frac = np.arange(r, dtype=np.float64) / max(r - 1, 1)
-            yi = (frac[None, :] * (hs - 1)[:, None]).astype(np.int64)
-            xi = (frac[None, :] * (ws - 1)[:, None]).astype(np.int64)
+            yi = (frac[None, :] * np.maximum(hs - 1, 0)[:, None]).astype(np.int64)
+            xi = (frac[None, :] * np.maximum(ws - 1, 0)[:, None]).astype(np.int64)
             pix = yi[:, :, None] * ws[:, None, None] + xi[:, None, :]
-            valid = pix < lens[:, None, None]
-            src = np.minimum(starts[:, None, None] + pix, max(len(data) - 1, 0))
+            valid = (pix >= 0) & (pix < lens[:, None, None])
+            src = np.clip(starts[:, None, None] + pix, 0, max(len(data) - 1, 0))
             thumb = np.where(valid, data[src], 0).astype(np.float32)
             yield pa.RecordBatch.from_pydict(
                 {

@@ -321,6 +321,13 @@ class BloomFilter(MergeableSketch):
             meta.get("enforce_capacity", True),
         )
         bits = np.frombuffer(payload, dtype=np.uint8)
+        unpadded = (bf.nbits + 7) // 8
+        if len(bits) == unpadded and unpadded != len(bf.bits):
+            # payload persisted before the 8-byte word padding: accept
+            # and re-pad (the pad bytes are never addressed, always 0)
+            bf.bits[: len(bits)] = bits
+            bf.count = int(meta["count"])
+            return bf
         if len(bits) != len(bf.bits):
             raise ValueError("payload size does not match geometry")
         bf.bits = bits.copy()

@@ -28,6 +28,7 @@ Python, never per-row.
 from __future__ import annotations
 
 import json
+import math
 from collections import Counter
 
 import numpy as np
@@ -127,7 +128,19 @@ class MisraGries(MergeableSketch):
 
     def heavy_hitters(self, threshold: float) -> list[tuple]:
         """Guaranteed superset of keys with true count ≥ threshold·N:
-        [(value, lower, upper)] sorted by lower bound descending."""
+        [(value, lower, upper)] sorted by lower bound descending.
+
+        The superset guarantee requires threshold·N > deficit (a key can
+        be evicted with true count up to the deficit, ≤ N/(k+1)); asking
+        below that line would silently miss true hitters, so it raises —
+        use a larger ``k`` instead."""
+        if self.total and threshold * self.total <= self.deficit:
+            raise ValueError(
+                f"threshold {threshold} is not answerable: threshold*N "
+                f"({threshold * self.total:.0f}) <= deficit "
+                f"({self.deficit}); rebuild with k > "
+                f"{math.ceil(1 / threshold)} to guarantee the superset"
+            )
         cut = threshold * self.total
         out = [
             (v, int(c), int(c + self.deficit))

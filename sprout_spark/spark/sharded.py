@@ -147,30 +147,25 @@ def build_sharded_bloom(
 
 
 def _resolve_n_shards(filters: DataFrame, n_shards: int | None) -> int:
-    """Take the modulus from the filter table itself (one tiny aggregate
-    over the n_shards-row table); a caller-passed value is validated.
-    Probing with the wrong modulus would route keys to shards they were
-    never added to — silent false negatives — so this is a hard error."""
-    if "n_shards" in filters.columns:
-        vals = [
-            r["n_shards"]
-            for r in filters.select("n_shards").distinct().collect()
-        ]
-        if len(vals) != 1:
-            raise ValueError(f"filter table mixes shard moduli: {sorted(vals)}")
-        stored = int(vals[0])
-        if n_shards is not None and int(n_shards) != stored:
-            raise ValueError(
-                f"n_shards={n_shards} does not match the filter table's "
-                f"build modulus {stored}"
-            )
-        return stored
-    if n_shards is None:
+    """Driver-side modulus resolution. An explicit ``n_shards`` costs
+    nothing here (it is cross-checked against the stored column inside
+    each cogroup task — probing with the wrong modulus would route keys
+    to shards they were never added to, silent false negatives, so a
+    mismatch is a hard task error). With no argument, ONE row of the
+    filter table is read — note that on an uncached, just-built filter
+    DataFrame even that triggers partial recomputation of the build, so
+    persist the filter table (or pass the modulus) in query loops."""
+    if n_shards is not None:
+        return int(n_shards)
+    if "n_shards" not in filters.columns:
         raise ValueError(
             "filter table has no n_shards column (pre-r2 layout); pass "
             "n_shards explicitly"
         )
-    return int(n_shards)
+    row = filters.select("n_shards").limit(1).collect()
+    if not row:
+        raise ValueError("empty sharded filter table")
+    return int(row[0][0])
 
 
 def sharded_might_contain(
@@ -206,6 +201,15 @@ def sharded_might_contain(
             # no filter for this shard: nothing was ever added there
             contains = np.zeros(left.num_rows, dtype=bool)
         else:
+            if "n_shards" in right.column_names:
+                stored = set(right.column("n_shards").to_pylist())
+                if stored != {n_shards}:
+                    raise ValueError(
+                        f"probe modulus n_shards={n_shards} does not match "
+                        f"the filter table's build modulus {sorted(stored)}"
+                        " — keys would route to the wrong shards (silent"
+                        " false negatives)"
+                    )
             sk = sketch_from_bytes(
                 merge_serialized(right.column("sketch").to_pylist())
             )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct  # truncated sketch headers raise struct.error on load
 from typing import Callable
 
 import pandas as pd
@@ -66,7 +67,7 @@ class StreamingSketchAccumulator:
                     header = f.readline()
                     st = json.loads(header.decode())
                     return sketch_from_bytes(f.read()), int(st["epoch"])
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, struct.error) as e:
                 # a power failure could in principle survive the rename
                 # with truncated payload bytes (fsync below closes the
                 # common case); fail loud but recover — accumulated state

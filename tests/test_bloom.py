@@ -287,3 +287,30 @@ def test_sbf_strict_mode_tightens():
     strict = ScalableBloomFilter(100, 0.01, strict=True)
     assert strict._eps0 == pytest.approx(0.001)
     assert strict.top.k > loose.top.k
+
+
+def test_unpadded_pre_r2_payload_still_loads():
+    """r1 payloads are exactly (nbits+7)//8 bytes; the r2 word-padded
+    layout must keep loading them (checkpoints/stores from older runs)."""
+    import json
+    import struct
+
+    import numpy as np
+
+    from sprout_spark.sketch import BloomFilter
+    from sprout_spark.sketch.base import _MAGIC, sketch_from_bytes
+
+    bf = BloomFilter(64, 0.001, enforce_capacity=False)
+    bf.update_values([f"k{i}" for i in range(50)])
+    unpadded = (bf.nbits + 7) // 8
+    assert unpadded != len(bf.bits)  # this capacity really exercises the pad
+    # reserialize with the OLD (unpadded) payload length
+    meta = json.dumps(bf._meta(), separators=(",", ":")).encode()
+    t = bf.TYPE.encode()
+    old_wire = b"".join(
+        [_MAGIC, struct.pack("<HI", len(t), len(meta)), t, meta,
+         bf.bits[:unpadded].tobytes()]
+    )
+    back = sketch_from_bytes(old_wire)
+    assert (back.bits == bf.bits).all()
+    assert back.contains_values([b"k1"])[0] or back.contains("k1")

@@ -410,3 +410,17 @@ def test_mg_int_and_null_keys():
     assert mg.counters.get(None) == 3
     with pytest.raises(TypeError):
         mg.update_arrow(pa.array([1.5], pa.float64()))
+
+
+def test_mg_unanswerable_threshold_raises():
+    """threshold*N <= deficit cannot guarantee the superset — must raise,
+    not silently drop evicted true hitters."""
+    from sprout_spark.sketch import MisraGries
+
+    stream = _zipf_stream(50_000, 2000, seed=13)
+    mg = MisraGries(k=16)
+    mg.update_values(stream)
+    assert mg.deficit > 0
+    with pytest.raises(ValueError, match="not answerable"):
+        mg.heavy_hitters(mg.deficit / mg.total / 2)
+    mg.heavy_hitters(0.2)  # well above the line: fine
