@@ -422,6 +422,18 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, "doc_id", "text", threshold=0.9).select("a", "b")
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters from the MinHash-LSH pairs: connected
+    components by min-label propagation — the keep/drop decision step.
+    Oracle: recursive-CTE transitive closure over the exact Jaccard pair
+    graph; equality proves both the pair set and the clustering."""
+    from sprout_spark.operators.dedup import duplicate_clusters, near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.9)
+    return duplicate_clusters(pairs).select("id", "cluster")
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard pairs (inverted-index join)."""
     from sprout_spark.operators.dedup import exact_jaccard_pairs
@@ -598,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_tdigest_value_median": q_grouped_tdigest_value_median,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "text_stats_documents": q_text_stats_documents,
@@ -768,6 +781,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "minhash_near_dup_pairs": _JACCARD_PAIRS_SQL,
+        "near_dup_clusters": f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+edges AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+reach(id, r) AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+)
+SELECT id, min(r) AS cluster FROM reach GROUP BY id
+""",
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based
         # variants, which DuckDB reproduces bit-for-bit (md5 is the one

@@ -246,6 +246,60 @@ def exact_dedup(df: DataFrame, id_col: str, dup_cols: list[str]) -> DataFrame:
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster)
+    where ``cluster`` is the minimum id reachable from ``id`` — the
+    standard "pick one representative per duplicate group" step that
+    turns pairwise matches into keep/drop decisions.
+
+    Algorithm: iterative min-label propagation. Each round joins labels
+    across the symmetrized edge list (two shuffles on 8-byte ids) and
+    takes the element-wise min; a round with zero label changes ends the
+    loop. Converges in O(component diameter) rounds — near-dup clusters
+    are shallow (dozens of docs, diameter a handful), so this is a few
+    cheap shuffles even at corpus scale, and ``localCheckpoint``
+    truncates the growing lineage each round. Only ids ever shuffle;
+    documents stay where they are."""
+    edges = pairs.select(
+        F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
+    )
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            und.join(labels, und["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nlabel"], labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

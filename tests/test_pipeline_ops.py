@@ -301,3 +301,24 @@ def test_cosine_pairs_exact_threshold(spark, emb):
     got = {(r["a"], r["b"]) for r in pairs}
     assert {(j, 100 + j) for j in range(5)} <= got
     assert all(r["cosine"] >= 0.98 for r in pairs)
+
+
+def test_duplicate_clusters_connected_components(spark):
+    from sprout_spark.operators.dedup import duplicate_clusters
+
+    # two components: a 5-node chain (diameter stress) + a triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "a bigint, b bigint",
+    )
+    got = {r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_duplicate_clusters_on_near_dups(spark, docs):
+    from sprout_spark.operators.dedup import duplicate_clusters
+
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+    got = {r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
+    for j in range(10):  # planted pair (j, 200+j) must co-cluster
+        assert got[200 + j] == got[j]
