@@ -1,6 +1,7 @@
 """Training-data pipeline operators: dedup, similarity, multimodal."""
 
 from .dedup import (
+    duplicate_clusters,
     exact_dedup,
     exact_jaccard_pairs,
     lsh_candidate_pairs,
