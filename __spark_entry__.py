@@ -524,7 +524,11 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than letting a future non-ASCII fixture silently diverge
     media = media_from_documents(
         docs.where(F.octet_length("text") == F.length("text"))
-    )
+    ).where(F.col("height") > 0)
+    # height 0 (docs under 16 chars) diverges between kernel (clamps the
+    # pixel count to 1 -> mean = first byte) and oracle (avg of an empty
+    # list -> NULL); zero-pixel geometry is not a meaningful feature row,
+    # so both sides exclude it
     feats = extract_image_features(media)
     dims = media.select(
         "media_id", (F.col("width") * F.col("height")).cast("bigint").alias("n_px")
@@ -532,6 +536,66 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(dims, "media_id").select(
         "media_id", "n_px", F.col("mean").alias("mean_px")
     )
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the mapInArrow decode kernel (fake codec =
+    bytes-as-samples, deterministic): per-clip sample count, RMS, and
+    mean-crossing count — all exactly reproducible in SQL since the
+    derived payload is the utf-8 text and every comparison is scaled to
+    integer math (sample*n > total, no float thresholds)."""
+    from sprout_spark.operators.multimodal import (
+        extract_audio_features,
+        media_from_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    media = media_from_documents(
+        docs.where(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") > 0)
+        )
+    )
+    return extract_audio_features(media).select(
+        "media_id", "n_samples", "rms", "mean_crossings"
+    )
+
+
+def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the chain a real training-data user
+    runs, as ONE query proving the operators compose: exact dedup →
+    MinHash-LSH near-dup pairs (exact-verified) → duplicate clusters
+    (keep the min-id representative) → quality filter (token count +
+    punctuation ratio, integer-scaled) → deterministic bottom-k sample
+    (KMV semantics over the portable md5 hash — k smallest hash values,
+    computed as a distributed TakeOrdered, SQL-reproducible). Oracle:
+    the same chain in DuckDB with a recursive-CTE closure for the
+    cluster step."""
+    from sprout_spark.functions.text import with_text_stats
+    from sprout_spark.operators.dedup import (
+        duplicate_clusters,
+        exact_dedup,
+        near_dup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    keep_exact = exact_dedup(docs, "doc_id", ["text"]).select("doc_id")
+    kept = docs.join(keep_exact, "doc_id", "left_semi")
+    pairs = near_dup_pairs(kept, "doc_id", "text", threshold=0.9)
+    clusters = duplicate_clusters(pairs)
+    dropped = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = kept.join(dropped, "doc_id", "left_anti")
+    stats = with_text_stats(survivors, "text")
+    quality = stats.where(
+        (F.col("n_ws_tokens") >= 5)
+        & (4 * F.col("n_punct") <= F.col("n_chars"))
+    )
+    sample = quality.orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).limit(100)
+    return sample.select("doc_id", "n_ws_tokens")
 
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_shared": q_fingerprint_shared,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
+        "media_audio_features": q_media_audio_features,
+        "pipeline_corpus_clean": q_pipeline_corpus_clean,
         "ann_topk_cosine": q_ann_topk_cosine,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -726,6 +792,83 @@ SELECT doc_id, {case} AS lang_guess FROM h
 """
 
 
+_AUDIO_FEATURES_SQL = """
+WITH a AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents
+  WHERE doc_id % 3 = 1 AND strlen(text) = length(text) AND length(text) > 0
+),
+o AS (
+  SELECT doc_id, n,
+         list_transform(string_split(text, ''), x -> ord(x)) AS ords
+  FROM a
+),
+s AS (
+  SELECT doc_id, n, ords,
+         list_aggregate(ords, 'sum') AS tot,
+         list_aggregate(list_transform(ords, x -> x * x), 'sum') AS tot2
+  FROM o
+)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       sqrt(tot2 * 1.0 / n) AS rms,
+       CAST(len([i for i in range(1, n)
+                 if (ords[i] * n > tot) != (ords[i + 1] * n > tot)])
+            AS BIGINT) AS mean_crossings
+FROM s
+"""
+
+
+_PIPELINE_CLEAN_SQL = """
+WITH RECURSIVE dedup AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  FROM kept WHERE length(trim(text)) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM tok l JOIN tok r ON l.t = r.t AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
+),
+edges AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+reach(id, r) AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+dropped AS (SELECT id FROM clusters WHERE id != cluster),
+survivors AS (
+  SELECT doc_id, text FROM kept
+  WHERE doc_id NOT IN (SELECT id FROM dropped)
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct
+  FROM survivors
+)
+SELECT doc_id, n_ws_tokens FROM q
+WHERE n_ws_tokens >= 5 AND 4 * n_punct <= n_chars
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qs_values = ", ".join(f"(CAST({q} AS DOUBLE), true)" for q in _QS)
     return {
@@ -826,8 +969,11 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
             "CAST(8 * (length(text) // 16) AS INT)), ''), x -> ord(x)), "
             "'avg') AS mean_px "
             "FROM documents WHERE doc_id % 3 = 0 "
-            "AND strlen(text) = length(text)"  # ASCII-only, mirrors Spark
+            "AND strlen(text) = length(text) "  # ASCII-only, mirrors Spark
+            "AND length(text) >= 16"  # height > 0, mirrors Spark
         ),
+        "media_audio_features": _AUDIO_FEATURES_SQL,
+        "pipeline_corpus_clean": _PIPELINE_CLEAN_SQL,
         "ann_topk_cosine": (
             "SELECT vec_id FROM ("
             "  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "

@@ -4,6 +4,7 @@ from .dedup import (
     duplicate_clusters,
     exact_dedup,
     exact_jaccard_pairs,
+    lsh_bucket_stats,
     lsh_candidate_pairs,
     minhash_band_rows,
     near_dup_pairs,
@@ -15,6 +16,7 @@ from .dedup import (
     verify_jaccard,
 )
 from .multimodal import (
+    extract_audio_features,
     extract_image_features,
     media_from_documents,
     repartition_by_bytes,

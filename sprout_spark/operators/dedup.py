@@ -129,21 +129,81 @@ def minhash_band_rows(
     ).mapInArrow(fn, "id bigint, band int, bh bigint")
 
 
-def lsh_candidate_pairs(band_rows: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    band_rows: DataFrame,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
+) -> DataFrame:
     """Self-join within (band, bh) buckets → distinct candidate (a, b) pairs.
 
     The join key is the 12-byte band row, so the shuffle is tiny no matter
-    how large the documents are. Skew note: a degenerate bucket (e.g. all
-    empty docs) would explode quadratically — callers should drop
-    empty/trivial docs first (near_dup_pairs does).
+    how large the documents are.
+
+    Hot-bucket guard: boilerplate-heavy corpora (the common 100-TB case —
+    identical headers/footers) put every copy of the template in the SAME
+    bucket in EVERY band, and an unguarded self-join on a 10^4-row bucket
+    emits ~10^8 pairs before verification. Buckets larger than
+    ``max_bucket`` therefore skip the all-pairs join:
+
+    * ``oversize_mode="star"`` (default) emits (bucket-min id, member)
+      pairs — O(n) per bucket, and every member stays connected to the
+      bucket representative, so after the exact-Jaccard verify
+      ``duplicate_clusters`` still groups true duplicate sets (a
+      boilerplate bucket is one clique; the star spans it). What is
+      traded away is all-pairs *pair-level* recall inside a *mixed*
+      oversized bucket (members similar to each other but not to the
+      representative) — acceptable for dedup, where connectivity is what
+      matters. ``max_bucket=None`` disables the guard.
+    * ``oversize_mode="drop"`` discards oversized buckets entirely (the
+      conservative "skip boilerplate" policy some pipelines want).
+
+    The guard is declarative (one window over the same (band, bh) key the
+    join shuffles on — no extra action, no driver round-trip); use
+    ``lsh_bucket_stats`` to monitor how often it fires.
     """
-    left = band_rows.alias("l")
-    right = band_rows.alias("r")
-    return (
-        left.join(right, ["band", "bh"])
+    if max_bucket is None:
+        left = band_rows.alias("l")
+        right = band_rows.alias("r")
+        return (
+            left.join(right, ["band", "bh"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
+        )
+    if oversize_mode not in ("star", "drop"):
+        raise ValueError("oversize_mode must be 'star' or 'drop'")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bh")
+    sized = band_rows.withColumn("_n", F.count("*").over(w)).withColumn(
+        "_min", F.min("id").over(w)
+    )
+    small = sized.where(F.col("_n") <= max_bucket).select("id", "band", "bh")
+    l, r = small.alias("l"), small.alias("r")
+    pairs = (
+        l.join(r, ["band", "bh"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
+    )
+    if oversize_mode == "star":
+        star = (
+            sized.where((F.col("_n") > max_bucket) & (F.col("id") != F.col("_min")))
+            .select(F.col("_min").alias("a"), F.col("id").alias("b"))
+        )
+        pairs = pairs.union(star)
+    return pairs.distinct()
+
+
+def lsh_bucket_stats(band_rows: DataFrame) -> DataFrame:
+    """Bucket-size histogram (bucket_size, n_buckets) — the monitoring
+    companion to ``lsh_candidate_pairs``'s hot-bucket guard: run it on a
+    sample when tuning ``max_bucket`` (a long quadratic tail here is the
+    signal that the corpus is boilerplate-heavy)."""
+    return (
+        band_rows.groupBy("band", "bh")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
     )
 
 
@@ -186,11 +246,16 @@ def near_dup_pairs(
     threshold: float = 0.8,
     n_hashes: int = 128,
     band_r: int = 4,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified: (a, b, jaccard).
 
     With r=4, b=32 the detection probability at j=0.8 is
     1-(1-0.8^4)^32 ≈ 1-5e-8; verification makes surviving pairs exact.
+    ``max_bucket``/``oversize_mode`` forward to the hot-bucket guard in
+    ``lsh_candidate_pairs`` (boilerplate buckets emit star pairs, not
+    quadratic all-pairs).
     """
     # strip ALL whitespace (trim only covers ASCII spaces — tab/newline-only
     # docs must not slip through)
@@ -198,7 +263,7 @@ def near_dup_pairs(
         F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
     )
     bands = minhash_band_rows(nonempty, id_col, text_col, n_hashes, band_r)
-    cands = lsh_candidate_pairs(bands)
+    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode)
     toks = token_sets(nonempty, id_col, text_col)
     return verify_jaccard(cands, toks, threshold)
 
@@ -252,14 +317,30 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     standard "pick one representative per duplicate group" step that
     turns pairwise matches into keep/drop decisions.
 
-    Algorithm: iterative min-label propagation. Each round joins labels
-    across the symmetrized edge list (two shuffles on 8-byte ids) and
-    takes the element-wise min; a round with zero label changes ends the
-    loop. Converges in O(component diameter) rounds — near-dup clusters
-    are shallow (dozens of docs, diameter a handful), so this is a few
-    cheap shuffles even at corpus scale, and ``localCheckpoint``
-    truncates the growing lineage each round. Only ids ever shuffle;
-    documents stay where they are."""
+    Algorithm: min-label propagation WITH pointer jumping (path
+    doubling). Each round every node (1) takes the min label over its
+    closed neighborhood, then (2) shortcuts through its label's own
+    label — ``label(v) ← label(label(v))``. Propagation alone moves the
+    component minimum one hop per round (O(diameter) rounds — dozens on
+    the boilerplate chains sliding-window shingling produces); the jump
+    roughly doubles every node's progress toward the root each round, so
+    convergence is O(log n) even on a pure path graph (a 1000-node chain
+    converges in ≤ 11 rounds; tested in tests/test_pipeline_ops.py).
+
+    Invariant kept by both steps: a node's label is always the id of a
+    smaller-or-equal node in its own component, and labels only decrease
+    — the fixpoint (no label changed) is exactly label = component min.
+    Costs per round: three shuffles on 8-byte ids (neighbor-min groupBy,
+    its join back, the jump join); documents never move. Each round
+    materializes via ``localCheckpoint`` (truncates lineage) with the
+    changed-flag folded into the frame, so the convergence probe is a
+    ``limit(1)`` scan over already-materialized rows, not a second
+    recompute of the round.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds pass without
+    convergence — silently returning partial labels (the pre-r3
+    behavior) mislabels long chains with no signal.
+    """
     edges = pairs.select(
         F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
     )
@@ -272,31 +353,48 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    if not labels.take(1):
+        return labels.select("id", F.col("label").alias("cluster"))
+    converged = False
     for _ in range(max_iters):
         nbr = (
             und.join(labels, und["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        prop = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            labels["id"],
+            F.least(
+                labels["label"], F.coalesce(nbr["nlabel"], labels["label"])
+            ).alias("plabel"),
+            labels["label"].alias("_old"),
+        )
+        # pointer jump: label(v) <- label(label(v)). Every label is some
+        # node's id (min over seen ids), so the mapping join always hits.
+        jump = prop.select(
+            F.col("id").alias("plabel"), F.col("plabel").alias("jlabel")
+        )
         new = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            prop.join(jump, "plabel", "left")
             .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(nbr["nlabel"], labels["label"])
-                ).alias("label"),
+                "id",
+                F.coalesce("jlabel", "plabel").alias("label"),
+                (F.coalesce("jlabel", "plabel") != F.col("_old")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.drop("_changed")
+        if not new.where("_changed").take(1):
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds; "
+            "the pair graph has a component needing more label-doubling "
+            "rounds than expected (raise max_iters)"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 

@@ -188,11 +188,47 @@ class ScalableBloomFilter(MergeableSketch):
                 self._grow()
             for s, st in enumerate(other.stages):
                 self.stages[s].merge(st)
+            self._warn_if_stages_overloaded()
         else:  # concat
             if not isinstance(other, ScalableBloomFilter):
                 raise ValueError("can only merge ScalableBloomFilter")
             self.stages.extend(other.stages)
         return self
+
+    def _warn_if_stages_overloaded(self) -> None:
+        """Stage-aligned merges of P partials can push a stage to P× its
+        sized capacity (each partial filled its own copy of stage s), so
+        the merged stage's bit density — and therefore its real FPR —
+        exceeds the schedule's ε_s. ``prob_observed()`` stays honest, but
+        nothing used to SAY so; steer callers to ``merge_mode='concat'``
+        (each partial keeps its own geometry, no stage ever overloads —
+        size partials with err_rate=ε/P for a global bound), mirroring the
+        oversized-bloom-partials steering in ``spark/aggregate.py``.
+        Warns once per instance: the overload persists, and a tree merge
+        would otherwise re-warn on every level."""
+        if getattr(self, "_overload_warned", False):
+            return
+        over = [
+            (s, st.count, st.capacity)
+            for s, st in enumerate(self.stages)
+            if st.count > st.capacity
+        ]
+        if over:
+            import warnings
+
+            detail = ", ".join(
+                f"stage {s}: {c}/{cap}" for s, c, cap in over[:4]
+            )
+            warnings.warn(
+                f"stage-aligned SBF merge overloaded {len(over)} stage(s) "
+                f"past their sized capacity ({detail}) — the compound FPR "
+                "now exceeds the configured bound (prob_observed() reports "
+                "the honest value). For distributed builds whose partials "
+                "each grow stages, use merge_mode='concat' with "
+                "err_rate=eps/P instead",
+                stacklevel=3,
+            )
+            self._overload_warned = True
 
     # -- introspection ----------------------------------------------------------------
     def capacity(self) -> int:

@@ -63,6 +63,14 @@ def build_sharded_sketch(
     ``salt > 1`` splits each shard's build across ``salt`` tasks (bounding
     the per-task group size to ~rows/(n_shards*salt)) and merges the salted
     partials per shard — exact, because merge is associative/commutative.
+    The salt varies PER ROW (``monotonically_increasing_id() % salt``),
+    not per key value: a hot key's duplicate rows must spread across
+    tasks too, and a key-hash salt would re-collapse them onto one task.
+    Consequence: which rows land in which salted partial depends on the
+    input's physical partitioning, so only order-insensitive sketches
+    (Bloom OR / HLL max / CMS add — everything this path is used for)
+    give byte-identical filters across differently-partitioned reruns;
+    the membership/estimate CONTRACT is unchanged either way.
     """
     base = df.select(F.col(col).alias("k")).withColumn(
         "shard", shard_id(F.col("k"), n_shards)
@@ -89,10 +97,11 @@ def build_sharded_sketch(
         )
 
     if salt and salt > 1:
-        # sub-split on a differently-seeded hash (extra literal column
-        # changes xxhash64's value) so hot shards spread across tasks
+        # row-varying sub-split (NOT a function of the key value — see
+        # docstring) so hot shards AND hot duplicate keys spread across
+        # tasks
         salted = base.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("k"), F.lit(1)), F.lit(salt))
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
         )
         partials = salted.groupBy("shard", "_salt").applyInArrow(
             lambda t: build_group(t.drop_columns(["_salt"])), SHARD_ROW_SCHEMA
@@ -168,26 +177,59 @@ def _resolve_n_shards(filters: DataFrame, n_shards: int | None) -> int:
     return int(row[0][0])
 
 
+def _salted_probe(
+    df: DataFrame, key_col: str, n_shards: int, probe_salt: int
+) -> DataFrame:
+    """Probe rows tagged (_shard, _psalt). The salt varies per row so a
+    hot shard — or simply 10^9 probes over shards sized for filter
+    memory, not probe volume — fans out over ``probe_salt`` cogroup
+    tasks instead of serializing on one core per shard. Row-wise probe
+    results are independent of which task evaluates them, so any salt
+    assignment is exact."""
+    probe = df.withColumn("_shard", shard_id(F.col(key_col), n_shards))
+    if probe_salt > 1:
+        probe = probe.withColumn(
+            "_psalt", F.pmod(F.monotonically_increasing_id(), F.lit(probe_salt))
+        )
+    else:
+        probe = probe.withColumn("_psalt", F.lit(0))
+    return probe
+
+
 def sharded_might_contain(
     df: DataFrame,
     key_col: str,
     filters: DataFrame,
     n_shards: int | None = None,
     out_col: str = "might_contain",
+    probe_salt: int = 4,
 ) -> DataFrame:
     """``df`` plus a boolean membership column, probed against a sharded
     filter table WITHOUT broadcasting any payload.
 
-    Plan shape: both sides shuffle on the 8-byte shard id; each cogroup
-    task gets one shard's filter row + that shard's probe rows and runs
-    the vectorized probe kernel. No BroadcastExchange anywhere (tested in
-    ``tests/test_sharded.py``). The shard modulus is read from the filter
-    table (``n_shards`` is only needed for tables persisted before it was
-    stored)."""
+    Plan shape: both sides shuffle on (shard, salt); each cogroup task
+    gets one shard's filter row + ~1/``probe_salt`` of that shard's probe
+    rows and runs the vectorized probe kernel. No BroadcastExchange
+    anywhere (tested in ``tests/test_sharded.py``). The shard modulus is
+    read from the filter table (``n_shards`` is only needed for tables
+    persisted before it was stored).
+
+    ``probe_salt`` bounds per-task probe volume: without it every probe
+    row of a shard lands in ONE task (throughput capped at
+    rows/n_shards per core — the r2 scale gap). Each filter row is
+    duplicated ``probe_salt`` times so every salted group still sees its
+    shard's payload; filter traffic grows salt×, which is noise next to
+    probe rows (filters are sized in MBs, probes in TBs). Results are
+    row-wise identical for any salt."""
     from pyspark.sql.types import StructField, StructType
 
     n_shards = _resolve_n_shards(filters, n_shards)
-    probe = df.withColumn("_shard", shard_id(F.col(key_col), n_shards))
+    probe_salt = max(1, int(probe_salt))
+    probe = _salted_probe(df, key_col, n_shards, probe_salt)
+    fdup = filters.withColumn(
+        "_psalt",
+        F.explode(F.array(*[F.lit(i) for i in range(probe_salt)])),
+    )
     # copy the fields: StructType.add mutates in place, and df.schema is
     # cached on the DataFrame — appending there corrupts later plans
     out_schema = StructType(
@@ -196,7 +238,7 @@ def sharded_might_contain(
     key_idx = df.columns.index(key_col)
 
     def fn(left: pa.Table, right: pa.Table) -> pa.Table:
-        left = left.drop_columns(["_shard"])
+        left = left.drop_columns(["_shard", "_psalt"])
         if right.num_rows == 0:
             # no filter for this shard: nothing was ever added there
             contains = np.zeros(left.num_rows, dtype=bool)
@@ -224,8 +266,8 @@ def sharded_might_contain(
         return left.append_column(out_col, pa.array(contains, pa.bool_()))
 
     return (
-        probe.groupBy("_shard")
-        .cogroup(filters.groupBy("shard"))
+        probe.groupBy("_shard", "_psalt")
+        .cogroup(fdup.groupBy("shard", "_psalt"))
         .applyInArrow(fn, out_schema)
     )
 

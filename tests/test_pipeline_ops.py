@@ -322,3 +322,127 @@ def test_duplicate_clusters_on_near_dups(spark, docs):
     got = {r["id"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
     for j in range(10):  # planted pair (j, 200+j) must co-cluster
         assert got[200 + j] == got[j]
+
+
+def test_duplicate_clusters_chain_converges_logarithmically(spark):
+    """O(log n) convergence (VERDICT r2 #4): a 1000-node path graph has
+    diameter 999 — plain min-label propagation needs ~999 rounds; the
+    pointer-jumping variant must finish within ~log2(1000) + slack."""
+    from sprout_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "a bigint, b bigint"
+    )
+    got = duplicate_clusters(pairs, max_iters=12)
+    assert got.where(F.col("cluster") != 0).count() == 0
+    assert got.count() == 1000
+
+
+def test_duplicate_clusters_raises_when_not_converged(spark):
+    """Exhausting max_iters must be a hard error, not silent partial
+    labels (ADVICE r2: wrong cluster assignments with no signal)."""
+    from sprout_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a bigint, b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=2)
+
+
+def test_lsh_hot_bucket_guard_star_mode(spark):
+    """Boilerplate corpus (VERDICT r2 #2): 10k copies of one header land
+    in ONE bucket in EVERY band. Unguarded, the candidate self-join emits
+    ~50M pairs x 32 bands; the star guard emits exactly n-1 pairs, every
+    member connected to the bucket representative, so verify + clustering
+    still resolve the duplicate set."""
+    from sprout_spark.operators.dedup import duplicate_clusters, near_dup_pairs
+
+    boiler = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("From: noreply Subject: your weekly digest unsubscribe here").alias(
+            "text"
+        ),
+    )
+    pairs = near_dup_pairs(
+        boiler, "doc_id", "text", threshold=0.9, max_bucket=1000
+    )
+    rows = pairs.collect()
+    assert len(rows) == 9_999  # star: (min, other), never quadratic
+    assert all(r["a"] == 0 and r["jaccard"] == 1.0 for r in rows)
+    clusters = duplicate_clusters(pairs)
+    assert clusters.where(F.col("cluster") != 0).count() == 0
+    assert clusters.count() == 10_000
+
+
+def test_lsh_hot_bucket_guard_drop_mode_and_small_buckets_unaffected(spark, docs):
+    from sprout_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_band_rows,
+        near_dup_pairs,
+    )
+
+    boiler = spark.range(0, 3_000).select(
+        F.col("id").alias("doc_id"), F.lit("same header text every time").alias("text")
+    )
+    dropped = near_dup_pairs(
+        boiler, "doc_id", "text", threshold=0.9, max_bucket=1000,
+        oversize_mode="drop",
+    )
+    assert dropped.count() == 0  # oversized buckets discarded entirely
+    # corpora whose buckets are all under the cap: guarded == unguarded
+    guarded = {
+        (r["a"], r["b"])
+        for r in near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_bucket=64
+        ).collect()
+    }
+    unguarded = {
+        (r["a"], r["b"])
+        for r in near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_bucket=None
+        ).collect()
+    }
+    assert guarded == unguarded
+    # monitoring companion: the boilerplate corpus shows one giant bucket
+    stats = lsh_bucket_stats(
+        minhash_band_rows(boiler, "doc_id", "text")
+    ).collect()
+    assert max(r["bucket_size"] for r in stats) == 3_000
+
+
+def test_extract_audio_features_kernel(spark):
+    """Hand-checked fake-decode audio features + empty-payload handling."""
+    from sprout_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        synthesize_media,
+    )
+
+    rows = [
+        (1, "audio", "raw", 0, 0, 16000, 1, bytearray(bytes([1, 9]))),
+        (2, "audio", "raw", 0, 0, 16000, 1, bytearray(b"")),
+        (3, "image", "raw", 2, 1, 0, 1, bytearray(bytes([5, 5]))),
+        (4, "audio", "raw", 0, 0, 16000, 1, bytearray(bytes([10, 10, 10]))),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert set(got) == {1, 2, 4}  # image rows filtered out
+    # [1, 9]: total=10, signs (1*2>10, 9*2>10) = (F, T) -> one crossing
+    assert got[1]["n_samples"] == 2
+    assert got[1]["rms"] == pytest.approx(np.sqrt((1 + 81) / 2))
+    assert got[1]["mean_crossings"] == 1
+    assert got[2]["n_samples"] == 0 and got[2]["rms"] == 0.0
+    assert got[2]["mean_crossings"] == 0
+    # constant signal: never crosses its own mean
+    assert got[4]["mean_crossings"] == 0
+    assert got[4]["rms"] == pytest.approx(10.0)
+    # synthesized media: one feature row per audio clip, deterministic
+    syn = synthesize_media(spark, n=30)
+    feats = extract_audio_features(syn).collect()
+    assert len(feats) == syn.where("kind = 'audio'").count()
+    assert sorted(map(str, feats)) == sorted(
+        map(str, extract_audio_features(syn).collect())
+    )
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(syn, decode="strict")

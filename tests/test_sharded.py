@@ -137,3 +137,44 @@ def test_persist_and_reload_roundtrip(spark, keyed_df, tmp_path):
     back = load_grouped_sketches(spark, path)
     probed = sharded_might_contain(keyed_df.distinct(), "k", back, 4)
     assert probed.where("might_contain").count() == keyed_df.distinct().count()
+
+
+def test_probe_salt_fans_out_hot_shard(spark):
+    """VERDICT r2 #1: per-task probe volume was total/n_shards — a hot
+    shard serialized on one core. With probe_salt=S the salted grouping
+    must put a single hot key's probes into S separate cogroup groups
+    (= S tasks), roughly balanced."""
+    from sprout_spark.spark.sharded import _salted_probe
+
+    hot = spark.range(0, 20_000).select(F.lit(12345).alias("k"))
+    salted = _salted_probe(hot, "k", 8, 4)
+    groups = salted.groupBy("_shard", "_psalt").count().collect()
+    assert len(groups) == 4  # one key -> one shard, spread over 4 groups
+    sizes = [r["count"] for r in groups]
+    assert max(sizes) <= 2 * min(sizes)
+
+
+def test_probe_salt_results_identical_and_in_shuffle_key(spark, keyed_df):
+    """Salting is work-placement only: row-wise results must be identical
+    at any probe_salt, the salt column must be part of the cogroup
+    shuffle key, and the plan must stay broadcast-free."""
+    filters = build_sharded_bloom(
+        keyed_df, "k", n_shards=4, expected_distinct=20_000
+    ).cache()
+    salted = sharded_might_contain(keyed_df, "k", filters, 4, probe_salt=4)
+    plain = sharded_might_contain(keyed_df, "k", filters, 4, probe_salt=1)
+    plan = salted._sc._jvm.PythonSQLUtils.explainString(
+        salted._jdf.queryExecution(), "formatted"
+    )
+    assert "_psalt" in plan
+    assert "BroadcastExchange" not in plan
+    a = sorted(
+        (r["k"], r["might_contain"])
+        for r in salted.groupBy("k", "might_contain").count().collect()
+    )
+    b = sorted(
+        (r["k"], r["might_contain"])
+        for r in plain.groupBy("k", "might_contain").count().collect()
+    )
+    assert a == b
+    filters.unpersist()

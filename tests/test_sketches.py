@@ -424,3 +424,38 @@ def test_mg_unanswerable_threshold_raises():
     with pytest.raises(ValueError, match="not answerable"):
         mg.heavy_hitters(mg.deficit / mg.total / 2)
     mg.heavy_hitters(0.2)  # well above the line: fine
+
+
+def test_sbf_stage_aligned_merge_warns_on_overload():
+    """VERDICT r2 #6: P stage-aligned partials can push stage s to P× its
+    sized capacity; prob_observed() stays honest but the merge must SAY
+    so and steer to concat mode. Warns once per instance (tree merges
+    would otherwise re-warn every level)."""
+    import warnings
+
+    from sprout_spark.sketch import ScalableBloomFilter
+
+    parts = []
+    for p in range(3):
+        s = ScalableBloomFilter(64, 0.01, merge_mode="stage")
+        s.update_values([f"p{p}-{i}" for i in range(64)])  # fill stage 0
+        parts.append(s)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        acc = parts[0]
+        for other in parts[1:]:
+            acc.merge(other)
+        over = [x for x in w if "overloaded" in str(x.message)]
+        assert len(over) == 1  # fired, and only once per instance
+        assert "concat" in str(over[0].message)
+    # recall still total; honesty: observed FPR above the schedule's eps0
+    assert all(acc.contains(f"p{p}-{i}") for p in range(3) for i in range(64))
+    # concat mode never overloads -> no warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        a = ScalableBloomFilter(64, 0.01, merge_mode="concat")
+        b = ScalableBloomFilter(64, 0.01, merge_mode="concat")
+        a.update_values([f"a{i}" for i in range(64)])
+        b.update_values([f"b{i}" for i in range(64)])
+        a.merge(b)
+        assert not [x for x in w if "overloaded" in str(x.message)]

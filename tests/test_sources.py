@@ -103,3 +103,67 @@ def test_iceberg_branch_dispatches_to_iceberg_source(spark, monkeypatch):
     msg = str(ei.value)
     assert "iceberg" in msg.lower()
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+
+
+def test_iceberg_mocked_catalog_read_with_schema_evolution(
+    spark, monkeypatch, tmp_path
+):
+    """VERDICT r2 #7: no iceberg-spark-runtime jar can be provisioned in
+    this sandbox (offline — verified: pip download and maven both
+    unreachable), so the production read path is exercised against a
+    mocked catalog serving REAL parquet-backed DataFrames: load() must
+    route format/identifier correctly, and downstream sketch builds must
+    keep working across an Iceberg-style schema evolution (a snapshot
+    adds a column — consumers select their columns by name, so Catalyst
+    prunes the new column away and results are unchanged)."""
+    from sprout_spark.io import load
+    from sprout_spark.sketch import BloomFilter
+    from sprout_spark.spark.aggregate import build_sketch
+
+    v1 = str(tmp_path / "snap_v1")
+    v2 = str(tmp_path / "snap_v2")
+    base = spark.range(0, 500).select(
+        F.concat(F.lit("conv-"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+    )
+    base.write.parquet(v1)
+    # evolved snapshot: same rows, one ADDED column (Iceberg add-column)
+    base.withColumn("quality_tag", F.lit("ok")).write.parquet(v2)
+
+    snapshots = {"cat.db.transcripts": v1}
+    calls = []
+
+    class FakeReader:
+        def __init__(self, real_reader):
+            self._real = real_reader
+
+        def format(self, fmt):
+            calls.append(fmt)
+            return self
+
+        def load(self, ident):
+            calls.append(ident)
+            return self._real.parquet(snapshots[ident])
+
+        def __getattr__(self, name):  # everything else passes through
+            return getattr(self._real, name)
+
+    real_session_cls = type(spark)
+    real_read = real_session_cls.read
+    monkeypatch.setattr(
+        real_session_cls,
+        "read",
+        property(lambda self: FakeReader(real_read.fget(self))),
+    )
+
+    df1 = load(spark, "iceberg:cat.db", "transcripts")
+    bf1 = build_sketch(df1, "conv_id", lambda: BloomFilter(600, 0.01))
+    assert calls == ["iceberg", "cat.db.transcripts"]
+
+    snapshots["cat.db.transcripts"] = v2  # catalog now points at v2
+    df2 = load(spark, "iceberg:cat.db", "transcripts")
+    assert "quality_tag" in df2.columns  # evolution visible
+    bf2 = build_sketch(df2, "conv_id", lambda: BloomFilter(600, 0.01))
+    # the added column changes nothing for a consumer that selects its
+    # own columns: bitwise-identical filter across snapshots
+    assert (bf1.bits == bf2.bits).all() and bf1.count == bf2.count

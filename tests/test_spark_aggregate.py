@@ -337,3 +337,28 @@ def test_oversized_bloom_partials_warn():
         _warn_if_partials_oversized(lambda: BloomFilter(10_000, 0.01), 64)
         _warn_if_partials_oversized(lambda: HyperLogLog(p=12), 100_000)
         assert not w
+
+
+def test_grouped_sketches_integer_group_key(spark):
+    """ADVICE r2: a non-string group key must not blow up inside the
+    applyInArrow kernel (the key is cast to string before grouping; the
+    kernel then emits it as a string cell)."""
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.spark.aggregate import build_grouped_sketches, grouped_estimate
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    for salt in (0, 4):  # both the plain and the salted two-phase path
+        g = build_grouped_sketches(df, "g", "v", lambda: HyperLogLog(p=12), salt=salt)
+        est = {
+            r["key"]: r["estimate"]
+            for r in grouped_estimate(g, lambda s: s.estimate()).collect()
+        }
+        assert set(est) == {"0", "1", "2", "3"}
+        exact = {
+            str(r["g"]): r["d"]
+            for r in df.groupBy("g").agg(F.countDistinct("v").alias("d")).collect()
+        }
+        for k, e in est.items():
+            assert abs(e - exact[k]) / exact[k] <= 0.05
