@@ -642,6 +642,38 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN vs brute force: with nprobe=4 of 8 cells, top-1 must match
+    and top-5 recall >= 0.6. Deterministic end to end: the coarse
+    quantizer trains on a seeded, hash-ordered sample and fixed Lloyd
+    iterations, so the same table always yields the same cells."""
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qv = [float(x) for x in q]
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", len(qv), n_cells=8)
+    index = build_ivf_index(emb, "vec_id", "embedding", len(qv), cents)
+    exact = [r["id"] for r in cosine_topk(emb, "vec_id", "embedding", qv, 5).collect()]
+    approx = [
+        r["id"]
+        for r in ann_ivf_topk(
+            emb, "vec_id", "embedding", qv, k=5,
+            centroids=cents, nprobe=4, index=index,
+        ).collect()
+    ]
+    top1 = bool(exact and approx and exact[0] == approx[0])
+    recall5 = len(set(exact) & set(approx)) / 5.0
+    return spark.createDataFrame(
+        [(top1, bool(recall5 >= 0.6))], "top1_match boolean, recall5_ok boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -687,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
     }
 
 
@@ -988,6 +1021,9 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
             "r.embedding::DOUBLE[]) >= 0.4"
         ),
         "ann_lsh_recall": (
+            "SELECT true AS top1_match, true AS recall5_ok"
+        ),
+        "ann_ivf_recall": (
             "SELECT true AS top1_match, true AS recall5_ok"
         ),
     }

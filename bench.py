@@ -15,7 +15,9 @@ sandbox VM shows ~20% hypervisor steal and heavy cross-core memory
 contention above ~8 concurrent workers (even pure-numpy multiprocessing
 tops out at ~0.73 efficiency at 16-way here) — measuring at 8/32 would
 measure the box, not the engine; 1->4 stays below the contention knee
-while spanning the required 4x. Each timed run gets an untimed
+while spanning the required 4x. Since r3 BOTH protocols are measured and
+reported (scaling_1_4 = engine, scaling_8_32 = box-limited) so the claim
+is auditable rather than chosen. Each timed run gets an untimed
 warm-up (see warmup_light) so one-time startup doesn't masquerade as a
 serial fraction. Results also land in BENCH/BASELINE.md.
 """
@@ -33,6 +35,12 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_LEVELS = (1, 4)
+# The BASELINE.md-named stand-in, reported alongside 1->4 so the claim is
+# auditable rather than chosen: 8->32 oversubscribes this VM's single
+# socket (hypervisor steal + cross-core memory contention past ~8
+# workers), so it measures the box's contention knee, not the engine's
+# serial fraction. Both numbers land in BENCH_r{N}.json, labeled.
+SCALING_LEVELS_BOX = (8, 32)
 
 
 def make_spark(cpus: int):
@@ -345,7 +353,8 @@ def main() -> None:
     # so reusing a session would poison later runs at both levels.
     # Levels are interleaved per round so a slow hypervisor window hits
     # both levels rather than biasing one; min-of-3 per level.
-    runs: dict[int, list[float]] = {c: [] for c in SCALING_LEVELS}
+    all_levels = sorted(set(SCALING_LEVELS) | set(SCALING_LEVELS_BOX))
+    runs: dict[int, list[float]] = {c: [] for c in all_levels}
     rows_flagship = 0
 
     def timed_run(cpus: int) -> None:
@@ -365,17 +374,25 @@ def main() -> None:
     # the target. The slow level is stable run-to-run (~100-107s across
     # many sessions) and gets min-of-2; the fast level's ~30s runs fit
     # entirely inside one bad steal window, so it gets min-of-4 spread
-    # over the several minutes the interleaved slow runs take.
+    # over the several minutes the interleaved slow runs take. The box
+    # protocol (8->32) gets min-of-2 each, interleaved for the same
+    # reason.
     slow, fast = SCALING_LEVELS
+    box_lo, box_hi = SCALING_LEVELS_BOX
     for i in range(4):
         timed_run(fast)
         if i < 2:
             timed_run(slow)
+            timed_run(box_lo)
+            timed_run(box_hi)
     scaling = {c: min(v) for c, v in runs.items()}
 
     t_small, t_big = scaling[SCALING_LEVELS[0]], scaling[SCALING_LEVELS[1]]
     ratio = SCALING_LEVELS[1] / SCALING_LEVELS[0]
     efficiency = (t_small / t_big) / ratio
+    t_box_lo, t_box_hi = scaling[box_lo], scaling[box_hi]
+    box_ratio = box_hi / box_lo
+    box_efficiency = (t_box_lo / t_box_hi) / box_ratio
 
     # --- flagship throughput at the box's sweet spot (fresh session,
     # warm). local[8] is where this VM peaks: beyond ~8 workers
@@ -419,16 +436,50 @@ def main() -> None:
             f"local[{SCALING_LEVELS[1]}]_sec": round(t_big, 3),
             "efficiency": round(efficiency, 3),
         },
+        "scaling_1_4": {
+            "protocol": "engine (below this VM's ~8-worker contention knee)",
+            f"local[{SCALING_LEVELS[0]}]_sec": round(t_small, 3),
+            f"local[{SCALING_LEVELS[1]}]_sec": round(t_big, 3),
+            "efficiency": round(efficiency, 3),
+        },
+        "scaling_8_32": {
+            "protocol": (
+                "box-limited (BASELINE.md-named stand-in; oversubscribes "
+                "one socket past the contention knee — measures the VM, "
+                "reported for auditability)"
+            ),
+            f"local[{box_lo}]_sec": round(t_box_lo, 3),
+            f"local[{box_hi}]_sec": round(t_box_hi, 3),
+            "efficiency": round(box_efficiency, 3),
+        },
         "reference_workload_20M": micro,
     }
     print(json.dumps(result))
+    write_md(result, t_full)
+
+
+def write_md(result: dict, t_full: float) -> None:
+    """Render BENCH/BASELINE.md from the bench result dict. Separated
+    from main() so a crashed/edited template can be re-rendered from the
+    saved JSON line without rerunning ~20 min of measurements."""
+    times = result["queries"]
+    total = result["value"]
+    micro = result["reference_workload_20M"]
+    rows_flagship = result["flagship_turns"]
+    n_li = result["rows_lineitem"]
+    headline_cpus = result["flagship_cpus"]
+    s14, s832 = result["scaling_1_4"], result["scaling_8_32"]
+    lo, hi = SCALING_LEVELS
+    blo, bhi = SCALING_LEVELS_BOX
+    t_small, t_big = s14[f"local[{lo}]_sec"], s14[f"local[{hi}]_sec"]
+    t_box_lo, t_box_hi = s832[f"local[{blo}]_sec"], s832[f"local[{bhi}]_sec"]
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     with open(md, "w") as f:
         f.write(
             "# BENCH — measured results\n\n"
-            f"Input: `{SF_DIR}` (lineitem rows: {n_li}).\n\n"
+            f"Input: `{result['sf']}` (lineitem rows: {n_li}).\n\n"
             "## Scaling (north rule: efficiency >= 0.8 from N to 4N)\n\n"
             "Sandbox stand-in per driver instruction: the identical flagship "
             "job — ONE pass over a transcripts table "
@@ -441,29 +492,55 @@ def main() -> None:
             "fast level min-of-4 spread across minutes (hypervisor steal "
             "windows are minute-scale; rep counts never depend on the "
             "measured values).\n\n"
-            f"| level | wall sec | throughput (rows/s) |\n|---|---|---|\n"
-            f"| local[{SCALING_LEVELS[0]}] | {t_small:.3f} | "
+            "| level | wall sec | throughput (rows/s) |\n|---|---|---|\n"
+            f"| local[{lo}] | {t_small:.3f} | "
             f"{rows_flagship / t_small:,.0f} |\n"
-            f"| local[{SCALING_LEVELS[1]}] | {t_big:.3f} | "
+            f"| local[{hi}] | {t_big:.3f} | "
             f"{rows_flagship / t_big:,.0f} |\n"
+            f"| local[{blo}] | {t_box_lo:.3f} | "
+            f"{rows_flagship / t_box_lo:,.0f} |\n"
+            f"| local[{bhi}] | {t_box_hi:.3f} | "
+            f"{rows_flagship / t_box_hi:,.0f} |\n"
             f"| local[{headline_cpus}] (headline) | {t_full:.3f} | "
             f"{rows_flagship / t_full:,.0f} |\n\n"
-            f"**Scaling efficiency (T{SCALING_LEVELS[0]}/T{SCALING_LEVELS[1]})"
-            f"/{ratio:.0f} = {efficiency:.3f}**\n\n"
-            "## Headline suite (local[%d])\n\n" % CPUS
-            + "| query | sec |\n|---|---|\n"
+            f"**Engine scaling efficiency (T{lo}/T{hi})/{hi // lo} = "
+            f"{s14['efficiency']:.3f}** — measured below this "
+            "VM's ~8-worker contention knee, so it reflects the engine's "
+            "serial fraction (the number a real cluster adding executors "
+            "would see). Values near or above 1.0 indicate box variance "
+            "(the slow level caught a steal window), not true superlinear "
+            "scaling — read as ~1.0.\n\n"
+            f"**Box-limited efficiency (T{blo}/T{bhi})/{bhi // blo} = "
+            f"{s832['efficiency']:.3f}** — the "
+            "BASELINE.md-named 8->32 stand-in, reported for auditability: "
+            "past ~8 workers this single-socket VM oversubscribes (~20 "
+            "percent hypervisor steal + cross-core memory contention; "
+            "local[32] is routinely WORSE than local[8] on wall time), so "
+            "this measures the box, not the engine. Both protocols run "
+            "interleaved on identical input in the same bench invocation."
+            "\n\n"
+            f"## Headline suite (local[{CPUS}])\n\n"
+            "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in times.items())
             + f"| **total** | **{total}** |\n\n"
-            + "## Reference workload (cmd/main.go:24-47 parity)\n\n"
-            + "20,000,000 Adds into a capacity-20M ε=0.001 filter + 20M "
-            + "Contains, single process (the reference's own timed loop; "
-            + "zero false negatives asserted).\n\n"
-            + "| hash mode | adds/sec | contains/sec |\n|---|---|---|\n"
+            "## Reference workload (cmd/main.go:24-47 parity)\n\n"
+            "20,000,000 Adds into a capacity-20M ε=0.001 filter + 20M "
+            "Contains, single process (the reference's own timed loop; "
+            "zero false negatives asserted).\n\n"
+            "| hash mode | adds/sec | contains/sec |\n|---|---|---|\n"
             + "".join(
                 f"| {m} | {v['adds_per_sec']:,.0f} | "
                 f"{v['contains_per_sec']:,.0f} |\n"
                 for m, v in micro.items()
             )
+            + "\nThis single-process numpy loop runs identical code every "
+            "round, so it doubles as the cross-round BOX-STATE CANARY: a "
+            "drop here (e.g. km adds/s 1.53M in r2 -> 1.12M in r3, -27 "
+            "percent, zero kernel changes) means the VM itself got "
+            "slower/noisier, and suite/flagship deltas of similar size "
+            "are box drift, not engine regressions. Normalize cross-round "
+            "comparisons by this canary before reading them as code "
+            "changes.\n"
         )
 
 

@@ -24,11 +24,14 @@ from .multimodal import (
     synthesize_media,
 )
 from .similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
+    build_ivf_index,
     build_srp_index,
     cosine_pairs_exact,
     cosine_topk,
     embedding_near_dup_pairs,
     srp_signatures,
+    train_ivf_centroids,
     with_cosine,
 )

@@ -14,6 +14,12 @@
 * :func:`cosine_self_join_topk` — embedding near-duplicate candidates via
   shared SRP buckets, exact-verified, for embedding-cosine near-dup
   detection in dedup pipelines.
+* :func:`train_ivf_centroids` / :func:`build_ivf_index` /
+  :func:`ann_ivf_topk` — the IVF scale path: a sample-trained k-means
+  coarse quantizer, a zero-shuffle assignment pass producing the
+  inverted file (persistable as cell-partitioned parquet), and a
+  partition-pruned probe that touches only ``nprobe/n_cells`` of the
+  data.
 """
 
 from __future__ import annotations
@@ -178,6 +184,143 @@ def ann_lsh_topk(
         cand_ids, df[id_col].cast("bigint") == cand_ids["id"], "left_semi"
     )
     return cosine_topk(cands, id_col, vec_col, query, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path alongside SRP-LSH
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_cells: int = 16,
+    iters: int = 10,
+    seed: int = 0xCE11,
+    train_rows_per_cell: int = 256,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: k-means over a bounded,
+    deterministic sample. (n_cells, dim) float64 centroids.
+
+    Scale contract: the sample is ``n_cells * train_rows_per_cell`` rows
+    picked by smallest ``xxhash64(id)`` — a uniform, rerun-stable draw
+    whose size is independent of table size, fetched via TakeOrdered
+    (partition-local top-k, no global sort shuffle). Sample-trained
+    coarse quantizers are the standard IVF construction; only the
+    bounded sample ever reaches the driver. Lloyd iterations run in
+    numpy with a fixed seed, so the same data always yields the same
+    centroids (the oracle gate depends on this).
+    """
+    cap = n_cells * train_rows_per_cell
+    sample = (
+        df.select(
+            F.xxhash64(F.col(id_col).cast("bigint")).alias("_h"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("_h")
+        .limit(cap)
+        .collect()
+    )
+    vecs = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    if len(vecs) < n_cells:
+        raise ValueError(f"need >= {n_cells} training vectors, got {len(vecs)}")
+    rng = np.random.RandomState(seed)
+    cents = vecs[rng.choice(len(vecs), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        # argmin ||v - c||^2 == argmax (v.c - ||c||^2/2)
+        scores = vecs @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        assign = scores.argmax(axis=1)
+        for c in range(n_cells):
+            mask = assign == c
+            if mask.any():
+                cents[c] = vecs[mask].mean(axis=0)
+    return cents
+
+
+def _ivf_assign_kernel(dim: int, cents: np.ndarray):
+    csq = 0.5 * (cents * cents).sum(axis=1)
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            vecs = flat.reshape(len(ids), dim)
+            cell = (vecs @ cents.T - csq).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "vec": emb,
+                    "cell": pa.array(cell, pa.int32()),
+                }
+            )
+
+    return fn
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    centroids: np.ndarray,
+    path: str | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid: (id, vec, cell) —
+    the inverted file IS the data layout, so probes never join back to
+    the base table. One vectorized ``mapInArrow`` pass, zero shuffle.
+    With ``path`` the index persists as parquet **partitioned by cell**,
+    so a query probing ``nprobe`` cells prunes to ``nprobe/n_cells`` of
+    the files at the directory level (Catalyst partition pruning, not a
+    scan+filter) — the 100-TB probe story."""
+    assigned = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).mapInArrow(
+        _ivf_assign_kernel(dim, centroids),
+        "id bigint, vec array<float>, cell int",
+    )
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return assigned
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells whose centroids
+    are nearest the query, exact cosine re-rank inside them. Returns
+    (id, cosine), best first.
+
+    The probe is a pure filter on the index's ``cell`` column — a
+    partition-pruned read when the index was persisted via
+    :func:`build_ivf_index(path=...)` — followed by TakeOrdered; no join,
+    no shuffle. Recall is tunable via nprobe/n_cells (nprobe == n_cells
+    degenerates to exact brute force)."""
+    dim = len(query)
+    if centroids is None:
+        centroids = train_ivf_centroids(df, id_col, vec_col, dim, n_cells)
+    if index is None:
+        index = build_ivf_index(df, id_col, vec_col, dim, centroids)
+    q = np.asarray(query, dtype=np.float64)
+    scores = centroids @ q - 0.5 * (centroids * centroids).sum(axis=1)
+    probe = [int(c) for c in np.argsort(-scores)[:nprobe]]
+    cands = index.where(F.col("cell").isin(probe))
+    return cosine_topk(cands, "id", "vec", query, k)
 
 
 def cosine_pairs_exact(

@@ -138,6 +138,70 @@ def test_ann_lsh_recall(spark, emb):
     assert hits >= 8  # >= 80% recall of the top-2 across probes
 
 
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", 32, n_cells=8)
+    cents2 = train_ivf_centroids(emb, "vec_id", "embedding", 32, n_cells=8)
+    assert np.array_equal(cents, cents2)  # rerun-stable (oracle depends on it)
+    index = build_ivf_index(emb, "vec_id", "embedding", 32, cents)
+    hits = 0
+    for probe in range(5):
+        q = [r["embedding"] for r in emb.where(f"vec_id = {probe}").collect()][0]
+        exact = [r["id"] for r in cosine_topk(emb, "vec_id", "embedding", q, 3).collect()]
+        approx = [
+            r["id"]
+            for r in ann_ivf_topk(
+                emb, "vec_id", "embedding", q, k=3,
+                centroids=cents, nprobe=3, index=index,
+            ).collect()
+        ]
+        hits += len(set(exact[:2]) & set(approx))
+    assert hits >= 8  # >= 80% recall of the top-2 across probes
+
+
+def test_ann_ivf_full_probe_is_exact(spark, emb):
+    """nprobe == n_cells degenerates to brute force: results identical."""
+    from sprout_spark.operators.similarity import ann_ivf_topk
+
+    q = [r["embedding"] for r in emb.where("vec_id = 0").collect()][0]
+    exact = [r["id"] for r in cosine_topk(emb, "vec_id", "embedding", q, 5).collect()]
+    full = [
+        r["id"]
+        for r in ann_ivf_topk(
+            emb, "vec_id", "embedding", q, k=5, nprobe=8, n_cells=8
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_index_partition_pruned(spark, emb, tmp_path):
+    """A persisted IVF index is cell-partitioned parquet: probing reads
+    only the probed cells' directories (PartitionFilters, not a post-scan
+    filter)."""
+    from sprout_spark.operators.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", 32, n_cells=4)
+    path = str(tmp_path / "ivf_index")
+    index = build_ivf_index(emb, "vec_id", "embedding", 32, cents, path=path)
+    import os
+
+    cell_dirs = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert len(cell_dirs) >= 2  # spread across cells
+    plan = index.where(F.col("cell").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # every base row is in exactly one cell
+    assert index.count() == emb.count()
+
+
 def test_embedding_near_dup_pairs(spark, emb):
     pairs = embedding_near_dup_pairs(
         emb, "vec_id", "embedding", dim=32, min_cosine=0.98
