@@ -598,6 +598,19 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.select("doc_id", "n_ws_tokens")
 
 
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: at most 25 documents per language
+    stratum, bottom-25 by md5(doc_id) — the per-stratum corpus cap every
+    training pipeline needs (the dominant language actually gets capped),
+    reproducible at any parallelism (two-phase salted ranking; the oracle
+    is the single-window SQL)."""
+    from sprout_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    sample = stratified_sample(docs, ["lang"], "doc_id", n_per_group=25, salt=4)
+    return sample.select("lang", "doc_id")
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding (exact)."""
     from sprout_spark.operators.similarity import cosine_topk
@@ -720,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "stratified_sample_documents": q_stratified_sample_documents,
     }
 
 
@@ -1025,5 +1039,12 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         ),
         "ann_ivf_recall": (
             "SELECT true AS top1_match, true AS recall5_ok"
+        ),
+        "stratified_sample_documents": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, "
+            "row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 25"
         ),
     }

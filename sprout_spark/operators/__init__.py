@@ -23,6 +23,7 @@ from .multimodal import (
     sample_video_frames,
     synthesize_media,
 )
+from .sampling import stratified_sample
 from .similarity import (
     ann_ivf_topk,
     ann_lsh_topk,

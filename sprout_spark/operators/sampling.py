@@ -1,0 +1,85 @@
+"""Deterministic stratified sampling — "cap N documents per stratum".
+
+Training-data pipelines constantly need a per-group cap: at most N docs
+per domain / language / source, chosen uniformly and REPRODUCIBLY (the
+same corpus must yield the same sample on every run, or dataset versioning
+breaks). The primitive here is per-group bottom-n by a deterministic key
+hash — the grouped analogue of the KMV bottom-k sample
+(``sketch/bottomk.py``), expressed declaratively so Catalyst plans it.
+
+Scale shape: a naive ``row_number() OVER (PARTITION BY group)`` funnels
+every row of a group through ONE task — a hot stratum (the common case:
+one language dominates a web corpus) serializes. :func:`stratified_sample`
+is therefore two-phase, mirroring the library's salted grouped-sketch
+pattern (``spark/aggregate.py``):
+
+1. rank within (group, salt) — ``salt`` parallel tasks per group, each
+   keeping its local bottom-n;
+2. rank the <= n*salt survivors per group — the second window sees at
+   most ``n * salt`` rows per group regardless of input size.
+
+Phase 1 never discards a global winner: a row in its group's true
+bottom-n has fewer than n group rows hashing ahead of it overall, hence
+fewer than n in its own salt bucket, so its in-bucket rank is <= n.
+
+With ``hash_mode="portable"`` the order key is ``md5(cast(key as
+string))`` — the one hash Spark and DuckDB share — so the sample is
+bit-reproducible by plain SQL (the oracle gate checks it). Use
+``hash_mode="xxhash64"`` for large runs (JVM codegen, no string
+round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _order_hash(key_col: str, hash_mode: str) -> Column:
+    if hash_mode == "portable":
+        return F.md5(F.col(key_col).cast("string"))
+    if hash_mode == "xxhash64":
+        return F.xxhash64(F.col(key_col))
+    raise ValueError("hash_mode must be 'portable' or 'xxhash64'")
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    n_per_group: int,
+    salt: int = 16,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """At most ``n_per_group`` rows per ``group_cols`` stratum, chosen as
+    the bottom-``n`` of a deterministic hash of ``key_col`` (uniform over
+    keys, identical on every rerun and at any parallelism). Returns the
+    input columns unchanged.
+
+    ``salt`` bounds per-task volume in the first ranking phase (a hot
+    stratum spreads over ``salt`` tasks); the second phase ranks at most
+    ``n_per_group * salt`` survivors per stratum. ``salt=1`` degenerates
+    to the single-window form (fine for small inputs / many even groups).
+    """
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    salt = max(1, int(salt))
+    h = _order_hash(key_col, hash_mode)
+    tagged = df.withColumn("_sh", h)
+    if salt > 1:
+        tagged = tagged.withColumn(
+            "_sb", F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(salt))
+        )
+        w1 = Window.partitionBy(*group_cols, "_sb").orderBy("_sh", key_col)
+        tagged = (
+            tagged.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= n_per_group)
+            .drop("_r1", "_sb")
+        )
+    w2 = Window.partitionBy(*group_cols).orderBy("_sh", key_col)
+    return (
+        tagged.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= n_per_group)
+        .drop("_r2", "_sh")
+    )

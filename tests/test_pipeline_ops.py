@@ -210,6 +210,57 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert {(j, 100 + j) for j in range(5)} <= got
 
 
+@pytest.fixture()
+def langdocs(docs):
+    from pyspark.sql import functions as F
+
+    return docs.withColumn(
+        "lang", F.concat(F.lit("l"), F.pmod(F.col("doc_id"), F.lit(3)))
+    )
+
+
+def test_stratified_sample_salted_equals_single_window(spark, langdocs):
+    """The two-phase salted ranking must select EXACTLY the same rows as
+    the single-window form (phase 1 never discards a global winner)."""
+    from sprout_spark.operators.sampling import stratified_sample
+
+    docs = langdocs
+    plain = stratified_sample(docs, ["lang"], "doc_id", 7, salt=1)
+    salted = stratified_sample(docs, ["lang"], "doc_id", 7, salt=8)
+    a = {(r["lang"], r["doc_id"]) for r in plain.collect()}
+    b = {(r["lang"], r["doc_id"]) for r in salted.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_caps_and_determinism(spark, langdocs):
+    from sprout_spark.operators.sampling import stratified_sample
+
+    docs = langdocs
+    s1 = stratified_sample(docs, ["lang"], "doc_id", 5, salt=4)
+    counts = s1.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+    # small strata keep everything
+    truth = dict(docs.groupBy("lang").count().collect())
+    got = dict(counts)
+    for lang, n in truth.items():
+        assert got[lang] == min(5, n)
+    # rerun at different parallelism -> identical sample
+    s2 = stratified_sample(docs.repartition(13), ["lang"], "doc_id", 5, salt=4)
+    assert {tuple(r) for r in s1.select("doc_id").collect()} == {
+        tuple(r) for r in s2.select("doc_id").collect()
+    }
+
+
+def test_stratified_sample_xxhash_mode(spark, langdocs):
+    from sprout_spark.operators.sampling import stratified_sample
+
+    docs = langdocs
+    s = stratified_sample(docs, ["lang"], "doc_id", 3, salt=4, hash_mode="xxhash64")
+    assert all(r["count"] <= 3 for r in s.groupBy("lang").count().collect())
+    with pytest.raises(ValueError):
+        stratified_sample(docs, ["lang"], "doc_id", 3, hash_mode="bogus")
+
+
 def test_text_stats_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "Hello, World 42!"), (2, ""), (3, "   "), (4, "a b  c")],
