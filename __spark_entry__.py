@@ -177,6 +177,45 @@ def q_streaming_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bloom-gated novelty filter (the reference's KV
+    negative-cache pattern, bloom.go:220-236, as Structured Streaming):
+    fold the documents table through readStream + foreachBatch, keeping
+    each md5(text) key the first time it appears. The accumulated key
+    set is EXACT (bloom misses are definitely-novel; bloom hits are
+    verified against the seen-keys store), and the distinct-key SET is
+    order-independent, so plain SQL reproduces it bit-for-bit."""
+    import os
+    import tempfile
+
+    from sprout_spark.streaming.novelty import stream_novelty_filter
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    keyed_schema = "doc_key string"
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        docs.select(F.md5(F.col("text")).alias("doc_key")).repartition(
+            4
+        ).write.parquet(src)
+        stream = (
+            spark.readStream.schema(keyed_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q, flt = stream_novelty_filter(
+            stream,
+            "doc_key",
+            lambda: BloomFilter(n + 10, 0.01),
+            state_dir=os.path.join(td, "state"),
+            checkpoint_dir=os.path.join(td, "ckpt"),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        rows = flt.novel_keys(spark).collect()
+    return spark.createDataFrame(rows, keyed_schema)
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimate within ±3·1.04/√m of the exact distinct count; the
     exact count rides along so the oracle check is tied to the data."""
@@ -734,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "streaming_novel_docs": q_streaming_novel_docs,
     }
 
 
@@ -1039,6 +1079,9 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         ),
         "ann_ivf_recall": (
             "SELECT true AS top1_match, true AS recall5_ok"
+        ),
+        "streaming_novel_docs": (
+            "SELECT DISTINCT md5(text) AS doc_key FROM documents"
         ),
         "stratified_sample_documents": (
             "SELECT lang, doc_id FROM ("

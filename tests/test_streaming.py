@@ -145,3 +145,64 @@ def test_grouped_stream_sketches(spark, transcripts_path, stream_dir, tmp_path):
     for tool, d in exact_distinct.items():
         est = [r["est"] for r in res if r["key"] == tool][0]
         assert abs(est - d) / max(d, 1) <= max(3 * 1.04 / (1 << 6), 0.1)
+
+
+def test_stream_novelty_filter_exact(spark, transcripts_path, stream_dir, tmp_path):
+    """Streaming bloom-gated dedup: accumulated novel keys == the exact
+    distinct key set, across micro-batches with heavy cross-batch
+    repetition (every conv_id repeats across turns and files)."""
+    from sprout_spark.streaming.novelty import stream_novelty_filter
+
+    batch = spark.read.parquet(transcripts_path)
+    exact = {r["conv_id"] for r in batch.select("conv_id").distinct().collect()}
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stream_dir)
+    )
+    q, flt = stream_novelty_filter(
+        stream,
+        "conv_id",
+        lambda: BloomFilter(len(exact) + 10, 0.01),
+        state_dir=str(tmp_path / "nstate"),
+        checkpoint_dir=str(tmp_path / "nckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    got = [r["conv_id"] for r in flt.novel_keys(spark).collect()]
+    assert len(got) == len(set(got))  # each key novel exactly once
+    assert set(got) == exact
+
+
+def test_stream_novelty_filter_restart(spark, transcripts_path, stream_dir, tmp_path):
+    """Restart over the same checkpoint: replays are idempotent — no key
+    is emitted twice, and the key set stays exact."""
+    from sprout_spark.streaming.novelty import stream_novelty_filter
+
+    batch = spark.read.parquet(transcripts_path)
+    exact = {r["conv_id"] for r in batch.select("conv_id").distinct().collect()}
+    state, ckpt = str(tmp_path / "rstate"), str(tmp_path / "rckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stream_dir)
+        )
+        q, flt = stream_novelty_filter(
+            stream,
+            "conv_id",
+            lambda: BloomFilter(len(exact) + 10, 0.01),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        return flt
+
+    flt1 = run()
+    flt2 = run()  # nothing new to read; replayed epochs must be no-ops
+    got = [r["conv_id"] for r in flt2.novel_keys(spark).collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == exact
+    assert flt2.last_epoch == flt1.last_epoch
