@@ -297,6 +297,117 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, int]:
     return times, n_li
 
 
+def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
+    """Training-data pipeline operator timings at the main level.
+
+    Workload: the sf documents table tiled 8x with distinct per-rep
+    suffixes (so every kernel hashes real, distinct text — fixed job
+    overhead doesn't dominate) — tiling also PLANTS near-duplicates
+    (8 suffix-variants of each doc), making the dedup measurements a
+    realistic boilerplate-heavy corpus, and embeddings tiled 8x for the
+    IVF path. Each op min-of-2 like the sketch suite."""
+    from pyspark.sql import functions as F
+
+    docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb0 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    reps = 8
+    docs = (
+        docs0.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            (F.col("doc_id") * reps + F.col("rep")).alias("doc_id"),
+            F.concat_ws(" ", "text", F.concat(F.lit("rep"), "rep")).alias("text"),
+            "lang",
+        )
+        .repartition(CPUS)
+        .cache()
+    )
+    n_docs = docs.count()  # materialize outside the timings
+    emb = (
+        emb0.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            (F.col("vec_id") * reps + F.col("rep")).alias("vec_id"), "embedding"
+        )
+        .repartition(CPUS)
+        .cache()
+    )
+    n_emb = emb.count()
+
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+
+    from sprout_spark.operators.dedup import exact_dedup, near_dup_pairs
+    from sprout_spark.operators.sampling import stratified_sample
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+    from sprout_spark.functions.text import with_text_stats
+
+    timed(
+        "exact_dedup_docs",
+        lambda: exact_dedup(docs, "doc_id", ["text"]).count(),
+    )
+    # near-dup runs on the UNTILED corpus: the driver's synthetic docs are
+    # already extremely boilerplate-heavy (single LSH buckets hold >60% of
+    # the table), so the workload exercises the hot-bucket guard as-is;
+    # tiling 8x would square the pair count into a pair-materialization
+    # benchmark instead of a dedup one. max_bucket=256 is the realistic
+    # boilerplate setting (star pairs keep cluster connectivity).
+    timed(
+        "near_dup_pairs_docs",
+        lambda: near_dup_pairs(
+            docs0, "doc_id", "text", threshold=0.9, max_bucket=256
+        ).count(),
+    )
+    timed(
+        "text_stats_docs",
+        lambda: with_text_stats(docs, "text").select(F.max("n_ws_tokens")).collect(),
+    )
+    timed(
+        "stratified_sample_docs",
+        lambda: stratified_sample(
+            docs, ["lang"], "doc_id", 100, salt=8, hash_mode="xxhash64"
+        ).count(),
+    )
+
+    dim = len(emb.select("embedding").first()[0])
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=16)
+    q = [float(x) for x in emb0.where(F.col("vec_id") == 0).first()["embedding"]]
+    ivf_holder = {}
+
+    def ivf_build():
+        if "ix" in ivf_holder:
+            ivf_holder["ix"].unpersist()
+        ivf_holder["ix"] = build_ivf_index(
+            emb, "vec_id", "embedding", dim, cents
+        ).cache()
+        ivf_holder["ix"].count()
+
+    timed("ivf_index_build_embeddings", ivf_build)
+    timed(
+        "ivf_ann_probe",
+        lambda: ann_ivf_topk(
+            emb, "vec_id", "embedding", q, k=10,
+            centroids=cents, nprobe=4, index=ivf_holder["ix"],
+        ).collect(),
+    )
+    ivf_holder["ix"].unpersist()
+    docs.unpersist()
+    emb.unpersist()
+    times["_n_docs"] = n_docs
+    times["_n_vecs"] = n_emb
+    return times, n_docs
+
+
 def reference_microbench() -> dict:
     """The reference's own timed workload (cmd/main.go:24-47): 20M Adds
     into a cap-20M ε=0.001 filter, single process — plus Contains over
@@ -417,6 +528,14 @@ def main() -> None:
     finally:
         spark.stop()
 
+    # --- pipeline-operator suite (separate session: the sketch suite's
+    # shuffle+Python-exchange history would otherwise skew these)
+    spark = make_spark(CPUS)
+    try:
+        pipe_times, n_docs = run_pipeline_suite(spark, SF_DIR)
+    finally:
+        spark.stop()
+
     micro = reference_microbench()
 
     total = round(sum(times.values()), 3)
@@ -452,10 +571,31 @@ def main() -> None:
             f"local[{box_hi}]_sec": round(t_box_hi, 3),
             "efficiency": round(box_efficiency, 3),
         },
+        "pipeline": pipe_times,  # dedup/similarity/sampling ops, same SF
         "reference_workload_20M": micro,
     }
     print(json.dumps(result))
     write_md(result, t_full)
+
+
+def _pipeline_section(pipe: dict | None) -> str:
+    if not pipe:
+        return ""
+    n_docs = pipe.get("_n_docs", 0)
+    n_vecs = pipe.get("_n_vecs", 0)
+    rows = {k: v for k, v in pipe.items() if not k.startswith("_")}
+    return (
+        f"## Pipeline operators (local[{CPUS}])\n\n"
+        f"Documents tiled 8x with distinct suffixes ({n_docs:,} docs) for "
+        "the linear ops; near_dup_pairs runs on the UNTILED corpus — the "
+        "synthetic docs are already extremely boilerplate-heavy (single "
+        "LSH buckets hold >60 percent of the table), so it exercises the "
+        "hot-bucket guard (max_bucket=256, star mode) as-is. Embeddings "
+        f"tiled 8x ({n_vecs:,} vectors) for IVF; min-of-2 per op.\n\n"
+        "| operator | sec |\n|---|---|\n"
+        + "".join(f"| {k} | {v} |\n" for k, v in rows.items())
+        + "\n"
+    )
 
 
 def write_md(result: dict, t_full: float) -> None:
@@ -523,7 +663,8 @@ def write_md(result: dict, t_full: float) -> None:
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in times.items())
             + f"| **total** | **{total}** |\n\n"
-            "## Reference workload (cmd/main.go:24-47 parity)\n\n"
+            + _pipeline_section(result.get("pipeline"))
+            + "## Reference workload (cmd/main.go:24-47 parity)\n\n"
             "20,000,000 Adds into a capacity-20M ε=0.001 filter + 20M "
             "Contains, single process (the reference's own timed loop; "
             "zero false negatives asserted).\n\n"
