@@ -641,12 +641,12 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     """Deterministic stratified sample: at most 25 documents per language
     stratum, bottom-25 by md5(doc_id) — the per-stratum corpus cap every
     training pipeline needs (the dominant language actually gets capped),
-    reproducible at any parallelism (two-phase salted ranking; the oracle
-    is the single-window SQL)."""
+    reproducible at any parallelism (Catalyst's rank-limit pushdown keeps
+    the bottom-n map-side; the oracle is the same single-window SQL)."""
     from sprout_spark.operators.sampling import stratified_sample
 
     docs = load(spark, sf_dir, "documents")
-    sample = stratified_sample(docs, ["lang"], "doc_id", n_per_group=25, salt=4)
+    sample = stratified_sample(docs, ["lang"], "doc_id", n_per_group=25)
     return sample.select("lang", "doc_id")
 
 

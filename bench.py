@@ -375,7 +375,7 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
     timed(
         "stratified_sample_docs",
         lambda: stratified_sample(
-            docs, ["lang"], "doc_id", 100, salt=8, hash_mode="xxhash64"
+            docs, ["lang"], "doc_id", 100, hash_mode="xxhash64"
         ).count(),
     )
 

@@ -7,20 +7,23 @@ breaks). The primitive here is per-group bottom-n by a deterministic key
 hash — the grouped analogue of the KMV bottom-k sample
 (``sketch/bottomk.py``), expressed declaratively so Catalyst plans it.
 
-Scale shape: a naive ``row_number() OVER (PARTITION BY group)`` funnels
-every row of a group through ONE task — a hot stratum (the common case:
-one language dominates a web corpus) serializes. :func:`stratified_sample`
-is therefore two-phase, mirroring the library's salted grouped-sketch
-pattern (``spark/aggregate.py``):
+Scale shape: on Spark >= 3.5 Catalyst plans ``row_number() <= n`` as
+``WindowGroupLimit Partial -> Exchange -> WindowGroupLimit Final`` — a
+MAP-SIDE bottom-n per group before the shuffle (verified in
+``tests/test_plans.py``), so a hot stratum's reduce task receives at
+most ``n * map_tasks`` rows, never the stratum's full row count, and the
+single-window form is already skew-safe. The optional ``salt`` keeps an
+explicit two-phase fallback for engines without rank-limit pushdown:
 
 1. rank within (group, salt) — ``salt`` parallel tasks per group, each
    keeping its local bottom-n;
-2. rank the <= n*salt survivors per group — the second window sees at
-   most ``n * salt`` rows per group regardless of input size.
+2. rank the <= n*salt survivors per group.
 
 Phase 1 never discards a global winner: a row in its group's true
 bottom-n has fewer than n group rows hashing ahead of it overall, hence
 fewer than n in its own salt bucket, so its in-bucket rank is <= n.
+(With pushdown available the salted form just adds a second exchange —
+hence the ``salt=1`` default; the equality of both forms is tested.)
 
 With ``hash_mode="portable"`` the order key is ``md5(cast(key as
 string))`` — the one hash Spark and DuckDB share — so the sample is
@@ -49,7 +52,7 @@ def stratified_sample(
     group_cols: list[str],
     key_col: str,
     n_per_group: int,
-    salt: int = 16,
+    salt: int = 1,
     hash_mode: str = "portable",
 ) -> DataFrame:
     """At most ``n_per_group`` rows per ``group_cols`` stratum, chosen as
@@ -57,10 +60,11 @@ def stratified_sample(
     keys, identical on every rerun and at any parallelism). Returns the
     input columns unchanged.
 
-    ``salt`` bounds per-task volume in the first ranking phase (a hot
-    stratum spreads over ``salt`` tasks); the second phase ranks at most
-    ``n_per_group * salt`` survivors per stratum. ``salt=1`` degenerates
-    to the single-window form (fine for small inputs / many even groups).
+    The default ``salt=1`` single-window form is skew-safe on this Spark:
+    Catalyst's rank-limit pushdown keeps a map-side bottom-n per group
+    before the shuffle (see module docstring). ``salt>1`` selects the
+    explicit two-phase variant (identical output, one extra exchange)
+    for engines without the pushdown.
     """
     if n_per_group < 1:
         raise ValueError("n_per_group must be >= 1")

@@ -70,3 +70,22 @@ def test_whole_stage_codegen_on_jvm_path(spark, transcripts_path):
     # '*' prefix marks whole-stage-codegen nodes in formatted explain
     assert "* Project" in plan  # text stats stay JVM-side, codegen'd
     assert "EvalPython" not in plan  # zero Python in this pipeline
+
+
+def test_stratified_sample_has_mapside_group_limit(spark, transcripts_path):
+    """The skew gate for stratified_sample's default single-window form:
+    Catalyst must plan row_number()<=n as a PARTIAL WindowGroupLimit
+    BEFORE the exchange (map-side bottom-n per group), so a hot stratum's
+    reduce task receives <= n*map_tasks rows, never the full stratum."""
+    from sprout_spark.operators.sampling import stratified_sample
+
+    df = spark.read.parquet(transcripts_path)
+    s = stratified_sample(df, ["role"], "conv_id", 10)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    partial_pos = plan.find("row_number(), 10, Partial")
+    exchange_pos = plan.find("Exchange hashpartitioning(role")
+    assert partial_pos != -1 and exchange_pos != -1
+    # tree prints top-down (reduce side first), so the partial limit
+    # being BELOW the exchange means it runs on the map side
+    assert partial_pos > exchange_pos
+    assert plan.count("Exchange hashpartitioning") == 1  # exactly one shuffle
