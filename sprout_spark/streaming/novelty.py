@@ -63,10 +63,12 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         self.seen_dir = os.path.join(state_dir, "seen")
 
     def _seen(self, spark) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(os.path.join(self.seen_dir, "epoch=*"))
-        except Exception:
-            return None  # no committed epoch yet
+        except AnalysisException:
+            return None  # PATH_NOT_FOUND: no committed epoch yet
 
     def novel_keys(self, spark) -> DataFrame:
         """The accumulated novel keys — exactly the stream's distinct
