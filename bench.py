@@ -654,11 +654,12 @@ def write_md(result: dict, t_full: float) -> None:
             f"{s832['efficiency']:.3f}** — the "
             "BASELINE.md-named 8->32 stand-in, reported for auditability: "
             "past ~8 workers this single-socket VM oversubscribes (~20 "
-            "percent hypervisor steal + cross-core memory contention; "
-            "local[32] is routinely WORSE than local[8] on wall time), so "
-            "this measures the box, not the engine. Both protocols run "
-            "interleaved on identical input in the same bench invocation."
-            "\n\n"
+            "percent hypervisor steal + cross-core memory contention, "
+            "with minute-scale swings large enough that local[32] lands "
+            "anywhere from 3x slower to slightly faster than local[8] "
+            "across runs of identical code), so this measures the box, "
+            "not the engine. Both protocols run interleaved on identical "
+            "input in the same bench invocation.\n\n"
             f"## Headline suite (local[{CPUS}])\n\n"
             "| query | sec |\n|---|---|\n"
             + "".join(f"| {k} | {v} |\n" for k, v in times.items())
@@ -675,10 +676,10 @@ def write_md(result: dict, t_full: float) -> None:
                 for m, v in micro.items()
             )
             + "\nThis single-process numpy loop runs identical code every "
-            "round, so it doubles as the cross-round BOX-STATE CANARY: a "
-            "drop here (e.g. km adds/s 1.53M in r2 -> 1.12M in r3, -27 "
-            "percent, zero kernel changes) means the VM itself got "
-            "slower/noisier, and suite/flagship deltas of similar size "
+            "round, so it doubles as the cross-round BOX-STATE CANARY "
+            "(r2 anchor: km 1.53M adds/s / 3.08M contains/s). A drop here "
+            "means the VM itself got slower/noisier — zero kernel changes "
+            "since r2 — and suite/flagship deltas of similar magnitude "
             "are box drift, not engine regressions. Normalize cross-round "
             "comparisons by this canary before reading them as code "
             "changes.\n"
