@@ -78,6 +78,34 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
             return spark.createDataFrame([], f"{self.col} string")
         return seen
 
+    def compact(self, spark, n_files: int = 8) -> int:
+        """Offline maintenance (run with the stream STOPPED): fold the
+        per-epoch seen-keys dirs into one — long streams otherwise
+        accumulate one small parquet dir per micro-batch (the classic
+        streaming small-files problem). Returns the number of keys.
+
+        Crash-safe ordering: the consolidated dir is fully written under
+        a temp name first, then the old epoch dirs are removed and the
+        temp dir renamed into place; a crash mid-compaction leaves either
+        the old epoch dirs or the finished consolidated dir readable
+        (the glob picks up whichever exists), never a half state. The
+        consolidated dir is named ``epoch=<last_epoch>`` so the replay
+        guard semantics are unchanged. On an object store, use the
+        equivalent committer-backed rewrite instead of os.rename."""
+        import shutil
+
+        seen = self._seen(spark)
+        if seen is None:
+            return 0
+        tmp = os.path.join(self.state_dir, "_compact_tmp")
+        seen.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        for d in os.listdir(self.seen_dir):
+            if d.startswith("epoch="):
+                shutil.rmtree(os.path.join(self.seen_dir, d))
+        os.rename(tmp, os.path.join(self.seen_dir, f"epoch={self.last_epoch}"))
+        return n
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= self.last_epoch:
             return  # replayed micro-batch after restart: already committed

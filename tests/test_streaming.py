@@ -206,3 +206,47 @@ def test_stream_novelty_filter_restart(spark, transcripts_path, stream_dir, tmp_
     assert len(got) == len(set(got))
     assert set(got) == exact
     assert flt2.last_epoch == flt1.last_epoch
+
+
+def test_novelty_compact_preserves_keys_and_resumes(
+    spark, transcripts_path, stream_dir, tmp_path
+):
+    """Offline compaction folds per-epoch dirs into one without changing
+    the key set, and a restarted stream keeps deduping against it."""
+    import os
+
+    from sprout_spark.streaming.novelty import stream_novelty_filter
+
+    batch = spark.read.parquet(transcripts_path)
+    exact = {r["conv_id"] for r in batch.select("conv_id").distinct().collect()}
+    state, ckpt = str(tmp_path / "cstate"), str(tmp_path / "cckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stream_dir)
+        )
+        q, flt = stream_novelty_filter(
+            stream,
+            "conv_id",
+            lambda: BloomFilter(len(exact) + 10, 0.01),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        return flt
+
+    flt = run()
+    n_dirs_before = len(os.listdir(os.path.join(state, "seen")))
+    assert n_dirs_before > 1  # several epochs landed
+    n = flt.compact(spark, n_files=2)
+    assert n == len(exact)
+    assert len(os.listdir(os.path.join(state, "seen"))) == 1
+    got = {r["conv_id"] for r in flt.novel_keys(spark).collect()}
+    assert got == exact
+    # restart after compaction: still nothing new, nothing duplicated
+    flt2 = run()
+    rows = [r["conv_id"] for r in flt2.novel_keys(spark).collect()]
+    assert len(rows) == len(set(rows)) and set(rows) == exact
