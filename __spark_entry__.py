@@ -169,7 +169,10 @@ def q_streaming_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=os.path.join(td, "ckpt"),
             trigger={"availableNow": True},
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:  # timed out: a partial fold would silently
+            q.stop()  # produce a wrong (subset) result — fail loud instead
+            raise TimeoutError("availableNow stream did not finish in 300s")
         bf = acc.sketch
     distinct = events.select("user_id").distinct()
     return distinct.where(might_contain(spark, bf, F.col("user_id"))).select(
@@ -211,7 +214,10 @@ def q_streaming_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=os.path.join(td, "ckpt"),
             trigger={"availableNow": True},
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:  # timed out: a partial fold would silently
+            q.stop()  # produce a wrong (subset) result — fail loud instead
+            raise TimeoutError("availableNow stream did not finish in 300s")
         rows = flt.novel_keys(spark).collect()
     return spark.createDataFrame(rows, keyed_schema)
 
@@ -458,7 +464,12 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sprout_spark.operators.dedup import near_dup_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, "doc_id", "text", threshold=0.9).select("a", "b")
+    # max_bucket=None: this query is gated against an EXACT all-pairs
+    # oracle, so the hot-bucket star guard (a recall trade-off for
+    # boilerplate corpora) must be off — guard behavior is pytest-gated
+    return near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_bucket=None
+    ).select("a", "b")
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +480,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sprout_spark.operators.dedup import duplicate_clusters, near_dup_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.9, max_bucket=None)
     return duplicate_clusters(pairs).select("id", "cluster")
 
 
@@ -620,7 +631,8 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     keep_exact = exact_dedup(docs, "doc_id", ["text"]).select("doc_id")
     kept = docs.join(keep_exact, "doc_id", "left_semi")
-    pairs = near_dup_pairs(kept, "doc_id", "text", threshold=0.9)
+    # exact-oracle parity: no hot-bucket star guard (see q_minhash_near_dup_pairs)
+    pairs = near_dup_pairs(kept, "doc_id", "text", threshold=0.9, max_bucket=None)
     clusters = duplicate_clusters(pairs)
     dropped = clusters.where(F.col("id") != F.col("cluster")).select(
         F.col("id").alias("doc_id")

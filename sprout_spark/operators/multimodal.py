@@ -160,6 +160,48 @@ def extract_image_features(
     )
 
 
+def _audio_features_kernel(batch: "pa.RecordBatch") -> "pa.RecordBatch":
+    """(media_id, payload) batch → (media_id, n_samples, rms,
+    mean_crossings). Module-level so the sliced-array/offset regression
+    tests can drive it directly (see ``extract_audio_features``)."""
+    n = batch.num_rows
+    ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    # <-- a real codec would decode batch.column(1) here; the fake
+    # path reads the bytes directly as samples
+    data, starts, lens = _binary_views(batch.column(1))
+    d64 = data.astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(d64)])
+    cs2 = np.concatenate([[0], np.cumsum(d64 * d64)])
+    tot = cs[starts + lens] - cs[starts]
+    tot2 = cs2[starts + lens] - cs2[starts]
+    denom = np.maximum(lens, 1)
+    rms = np.sqrt(tot2 / denom)
+    # mean crossings: sign bit s_i = (sample_i * n_row > total_row),
+    # count adjacent flips within each row (integer math only).
+    # Gather each row's bytes by ABSOLUTE buffer index (starts may not
+    # tile the buffer: sliced arrays, offsets, null slots) — same
+    # contract as the image kernel's starts+pix gather.
+    rid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if len(rid):
+        seg_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        intra = np.arange(len(rid), dtype=np.int64) - np.repeat(seg_start, lens)
+        seg = d64[np.repeat(starts, lens) + intra]
+        s = seg * lens[rid] > tot[rid]
+        same_row = rid[1:] == rid[:-1]
+        flips = same_row & (s[1:] != s[:-1])
+        crossings = np.bincount(rid[1:][flips], minlength=n)
+    else:
+        crossings = np.zeros(n, dtype=np.int64)
+    return pa.RecordBatch.from_pydict(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(lens, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+            "mean_crossings": pa.array(crossings.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def extract_audio_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """Audio feature extraction in ONE pass, feature-sized output
     (media_id, n_samples bigint, rms double, mean_crossings bigint).
@@ -186,40 +228,8 @@ def extract_audio_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     def fn(batches):
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            # <-- a real codec would decode batch.column(1) here; the fake
-            # path reads the bytes directly as samples
-            data, starts, lens = _binary_views(batch.column(1))
-            d64 = data.astype(np.int64)
-            cs = np.concatenate([[0], np.cumsum(d64)])
-            cs2 = np.concatenate([[0], np.cumsum(d64 * d64)])
-            tot = cs[starts + lens] - cs[starts]
-            tot2 = cs2[starts + lens] - cs2[starts]
-            denom = np.maximum(lens, 1)
-            rms = np.sqrt(tot2 / denom)
-            # mean crossings: sign bit s_i = (sample_i * n_row > total_row),
-            # count adjacent flips within each row (integer math only)
-            rid = np.repeat(np.arange(n, dtype=np.int64), lens)
-            if len(rid):
-                s = d64 * lens[rid] > tot[rid]
-                same_row = rid[1:] == rid[:-1]
-                flips = same_row & (s[1:] != s[:-1])
-                crossings = np.bincount(rid[1:][flips], minlength=n)
-            else:
-                crossings = np.zeros(n, dtype=np.int64)
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "media_id": pa.array(ids, pa.int64()),
-                    "n_samples": pa.array(lens, pa.int64()),
-                    "rms": pa.array(rms, pa.float64()),
-                    "mean_crossings": pa.array(
-                        crossings.astype(np.int64), pa.int64()
-                    ),
-                }
-            )
+            if batch.num_rows:
+                yield _audio_features_kernel(batch)
 
     return (
         df.where(F.col("kind") == "audio")

@@ -60,11 +60,22 @@ def stratified_sample(
     keys, identical on every rerun and at any parallelism). Returns the
     input columns unchanged.
 
+    PRECONDITION: ``key_col`` must uniquely identify rows (a doc_id /
+    primary key). Rows sharing a key tie on the whole (hash, key) sort
+    tuple, and ``row_number`` breaks ties by physical order — rerun
+    stability and the salted==unsalted equivalence then no longer hold at
+    the rank-``n`` boundary. Deduplicate or synthesize a unique key first.
+
     The default ``salt=1`` single-window form is skew-safe on this Spark:
     Catalyst's rank-limit pushdown keeps a map-side bottom-n per group
     before the shuffle (see module docstring). ``salt>1`` selects the
     explicit two-phase variant (identical output, one extra exchange)
     for engines without the pushdown.
+
+    Portability caveat: NULL ``key_col`` values hash to NULL and sort
+    NULLS FIRST in Spark but NULLS LAST in ANSI/DuckDB ``ORDER BY ... ASC``
+    — filter null keys upstream if the sample must be engine-portable.
+    NULL group values are consistent (both engines group them together).
     """
     if n_per_group < 1:
         raise ValueError("n_per_group must be >= 1")

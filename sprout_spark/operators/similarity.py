@@ -216,7 +216,10 @@ def train_ivf_centroids(
     cap = n_cells * train_rows_per_cell
     sample = (
         df.select(
-            F.xxhash64(F.col(id_col).cast("bigint")).alias("_h"),
+            # xxhash64 accepts any column type directly — casting a
+            # non-numeric id to bigint would NULL every hash and make the
+            # "deterministic sample" whatever Spark scans first
+            F.xxhash64(F.col(id_col)).alias("_h"),
             F.col(vec_col).alias("v"),
         )
         .orderBy("_h")

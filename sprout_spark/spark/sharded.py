@@ -63,9 +63,20 @@ def build_sharded_sketch(
     ``salt > 1`` splits each shard's build across ``salt`` tasks (bounding
     the per-task group size to ~rows/(n_shards*salt)) and merges the salted
     partials per shard — exact, because merge is associative/commutative.
-    The salt varies PER ROW (``monotonically_increasing_id() % salt``),
+    The salt varies PER ROW (position within a locally-sorted partition),
     not per key value: a hot key's duplicate rows must spread across
     tasks too, and a key-hash salt would re-collapse them onto one task.
+
+    Retry-safety (SPARK-23207 class): a positional salt feeding a shuffle
+    is only safe if a re-executed map task reproduces the same salts —
+    otherwise a fetch-failure retry can lose rows from salted partials
+    (a lost build row = a FALSE NEGATIVE). We apply Spark's own
+    round-robin-repartition fix: ``sortWithinPartitions`` over the full
+    row before assigning positions, so salts are a pure function of
+    partition CONTENT. Same contract as ``df.repartition(n)``: content-
+    deterministic input partitions (true of source scans and shuffles)
+    ⇒ deterministic salts under retry.
+
     Consequence: which rows land in which salted partial depends on the
     input's physical partitioning, so only order-insensitive sketches
     (Bloom OR / HLL max / CMS add — everything this path is used for)
@@ -99,8 +110,9 @@ def build_sharded_sketch(
     if salt and salt > 1:
         # row-varying sub-split (NOT a function of the key value — see
         # docstring) so hot shards AND hot duplicate keys spread across
-        # tasks
-        salted = base.withColumn(
+        # tasks; local full-row sort first so a retried map task
+        # reproduces identical salts (SPARK-23207 — see docstring)
+        salted = base.sortWithinPartitions("shard", "k").withColumn(
             "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
         )
         partials = salted.groupBy("shard", "_salt").applyInArrow(
@@ -185,10 +197,15 @@ def _salted_probe(
     memory, not probe volume — fans out over ``probe_salt`` cogroup
     tasks instead of serializing on one core per shard. Row-wise probe
     results are independent of which task evaluates them, so any salt
-    assignment is exact."""
+    assignment is exact.
+
+    The positional salt sits on a local FULL-ROW sort so a retried map
+    task reproduces identical salts (else a shuffle-fetch retry could
+    duplicate/drop probe OUTPUT rows — SPARK-23207 class; same
+    content-determinism contract as ``df.repartition(n)``)."""
     probe = df.withColumn("_shard", shard_id(F.col(key_col), n_shards))
     if probe_salt > 1:
-        probe = probe.withColumn(
+        probe = probe.sortWithinPartitions(*probe.columns).withColumn(
             "_psalt", F.pmod(F.monotonically_increasing_id(), F.lit(probe_salt))
         )
     else:

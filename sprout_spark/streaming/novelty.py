@@ -62,17 +62,47 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         super().__init__(key_col, factory, state_dir, fanin)
         self.seen_dir = os.path.join(state_dir, "seen")
 
-    def _seen(self, spark) -> DataFrame | None:
-        from pyspark.errors import AnalysisException
+    # -- committed-state reads -------------------------------------------
+    # The COMMIT POINT for an epoch's novel keys is _save(epoch) (the
+    # atomic bloom+watermark replace), NOT the parquet write that precedes
+    # it. _seen therefore reads only epoch dirs <= last_epoch: a crash
+    # between the epoch-N parquet write and _save(N) leaves a stale
+    # epoch=N dir on disk, and reading it during N's replay would
+    # anti-join away that batch's bloom-false-positive novel keys —
+    # silently losing ~epsilon of them forever. Compaction state rides in
+    # a manifest (atomic os.replace) so mid-compaction crashes are also
+    # invisible to readers.
 
-        try:
-            return spark.read.parquet(os.path.join(self.seen_dir, "epoch=*"))
-        except AnalysisException:
-            return None  # PATH_NOT_FOUND: no committed epoch yet
+    def _manifest(self) -> dict:
+        mpath = os.path.join(self.seen_dir, "manifest.json")
+        if os.path.exists(mpath):
+            import json
+
+            with open(mpath) as f:
+                return json.load(f)
+        return {"compacted_upto": -1, "dir": None}
+
+    def _seen(self, spark) -> DataFrame | None:
+        if self.last_epoch < 0 or not os.path.isdir(self.seen_dir):
+            return None
+        man = self._manifest()
+        paths = []
+        if man["dir"] is not None:
+            paths.append(os.path.join(self.seen_dir, man["dir"]))
+        for d in sorted(os.listdir(self.seen_dir)):
+            if not d.startswith("epoch="):
+                continue
+            epoch = int(d.split("=", 1)[1])
+            # committed AND not already folded into the compacted dir
+            if man["compacted_upto"] < epoch <= self.last_epoch:
+                paths.append(os.path.join(self.seen_dir, d))
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
 
     def novel_keys(self, spark) -> DataFrame:
         """The accumulated novel keys — exactly the stream's distinct
-        ``key_col`` set, one row per key."""
+        ``key_col`` set, one row per key (committed epochs only)."""
         seen = self._seen(spark)
         if seen is None:
             return spark.createDataFrame([], f"{self.col} string")
@@ -80,30 +110,41 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
 
     def compact(self, spark, n_files: int = 8) -> int:
         """Offline maintenance (run with the stream STOPPED): fold the
-        per-epoch seen-keys dirs into one — long streams otherwise
-        accumulate one small parquet dir per micro-batch (the classic
-        streaming small-files problem). Returns the number of keys.
+        committed per-epoch seen-keys dirs into one — long streams
+        otherwise accumulate one small parquet dir per micro-batch (the
+        classic streaming small-files problem). Returns the key count.
 
-        Crash-safe ordering: the consolidated dir is fully written under
-        a temp name first, then the old epoch dirs are removed and the
-        temp dir renamed into place; a crash mid-compaction leaves either
-        the old epoch dirs or the finished consolidated dir readable
-        (the glob picks up whichever exists), never a half state. The
-        consolidated dir is named ``epoch=<last_epoch>`` so the replay
-        guard semantics are unchanged. On an object store, use the
-        equivalent committer-backed rewrite instead of os.rename."""
+        Crash-safe via the manifest: (1) the consolidated dir is fully
+        written under a generation name readers ignore, (2) the manifest
+        is atomically os.replace'd to point at it, (3) only then are the
+        superseded epoch dirs deleted. A crash after (1) leaves readers
+        on the old epoch dirs; after (2) readers use the consolidated
+        dir and treat the old dirs as folded-in, so a partial (3) is
+        harmless. On an object store, swap the manifest via its
+        conditional-put equivalent."""
+        import json
         import shutil
 
         seen = self._seen(spark)
         if seen is None:
             return 0
-        tmp = os.path.join(self.state_dir, "_compact_tmp")
-        seen.repartition(n_files).write.mode("overwrite").parquet(tmp)
-        n = spark.read.parquet(tmp).count()
+        man = self._manifest()
+        gen = f"compact-{self.last_epoch}"
+        gen_path = os.path.join(self.seen_dir, gen)
+        seen.repartition(n_files).write.mode("overwrite").parquet(gen_path)
+        n = spark.read.parquet(gen_path).count()
+        mpath = os.path.join(self.seen_dir, "manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"compacted_upto": self.last_epoch, "dir": gen}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)  # the compaction commit point
         for d in os.listdir(self.seen_dir):
-            if d.startswith("epoch="):
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= self.last_epoch:
                 shutil.rmtree(os.path.join(self.seen_dir, d))
-        os.rename(tmp, os.path.join(self.seen_dir, f"epoch={self.last_epoch}"))
+        if man["dir"] is not None and man["dir"] != gen:
+            shutil.rmtree(os.path.join(self.seen_dir, man["dir"]), ignore_errors=True)
         return n
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -126,7 +167,9 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         else:
             novel = keys
         # epoch-scoped dir: a replayed epoch overwrites itself, never
-        # double-appends (the bloom/epoch state commits only afterwards)
+        # double-appends. The dir is UNCOMMITTED until _save(epoch_id)
+        # below — _seen ignores it on replay (see commit-point note), so
+        # a crash here cannot lose bloom-false-positive novel keys.
         novel.write.mode("overwrite").parquet(
             os.path.join(self.seen_dir, f"epoch={epoch_id}")
         )

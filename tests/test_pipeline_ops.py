@@ -561,3 +561,43 @@ def test_extract_audio_features_kernel(spark):
     )
     with pytest.raises(NotImplementedError):
         extract_audio_features(syn, decode="strict")
+
+
+def test_audio_kernel_sliced_and_offset_arrays():
+    """Regression: the crossings gather must index the Arrow data buffer
+    by ABSOLUTE starts — a sliced binary array (offset > 0, buffer longer
+    than the concatenated row segments) previously raised a broadcast
+    ValueError. Results must equal the unsliced equivalent."""
+    import pyarrow as pa
+
+    from sprout_spark.operators.multimodal import _audio_features_kernel
+
+    payloads = [b"hello", b"world!!", b"abcXYZabc"]
+    full = pa.array(payloads, pa.binary())
+    sliced = full.slice(1)  # offset=1: buffer keeps b"hello" bytes in front
+    ids = pa.array([10, 11], pa.int64())
+    got = _audio_features_kernel(
+        pa.RecordBatch.from_arrays([ids, sliced], ["media_id", "payload"])
+    ).to_pydict()
+    want = _audio_features_kernel(
+        pa.RecordBatch.from_arrays(
+            [ids, pa.array(payloads[1:], pa.binary())], ["media_id", "payload"]
+        )
+    ).to_pydict()
+    assert got == want
+
+    # null slot mixed in: behaves as empty, neighbors unaffected
+    with_null = pa.array([b"hello", None, b"world!!"], pa.binary())
+    ids3 = pa.array([1, 2, 3], pa.int64())
+    out = _audio_features_kernel(
+        pa.RecordBatch.from_arrays([ids3, with_null], ["media_id", "payload"])
+    ).to_pydict()
+    assert out["n_samples"] == [5, 0, 7]
+    solo = _audio_features_kernel(
+        pa.RecordBatch.from_arrays(
+            [pa.array([3], pa.int64()), pa.array([b"world!!"], pa.binary())],
+            ["media_id", "payload"],
+        )
+    ).to_pydict()
+    assert out["mean_crossings"][2] == solo["mean_crossings"][0]
+    assert out["rms"][2] == solo["rms"][0]

@@ -243,10 +243,47 @@ def test_novelty_compact_preserves_keys_and_resumes(
     assert n_dirs_before > 1  # several epochs landed
     n = flt.compact(spark, n_files=2)
     assert n == len(exact)
-    assert len(os.listdir(os.path.join(state, "seen"))) == 1
+    entries = os.listdir(os.path.join(state, "seen"))
+    assert not [d for d in entries if d.startswith("epoch=")]  # all folded
+    assert "manifest.json" in entries  # the compaction commit point
     got = {r["conv_id"] for r in flt.novel_keys(spark).collect()}
     assert got == exact
     # restart after compaction: still nothing new, nothing duplicated
     flt2 = run()
     rows = [r["conv_id"] for r in flt2.novel_keys(spark).collect()]
     assert len(rows) == len(set(rows)) and set(rows) == exact
+
+
+def test_novelty_replay_after_partial_commit_keeps_fp_keys(
+    spark, transcripts_path, tmp_path
+):
+    """Crash-window regression: an epoch dir written WITHOUT its _save
+    commit must be invisible to the anti-join when the epoch replays —
+    otherwise bloom-false-positive novel keys from that batch are lost.
+    Simulated by writing a stale epoch dir beyond the watermark."""
+    import os
+
+    from sprout_spark.streaming.novelty import StreamingNoveltyFilter
+
+    batch = spark.read.parquet(transcripts_path)
+    n = batch.select("conv_id").distinct().count()
+    flt = StreamingNoveltyFilter(
+        "conv_id", lambda: BloomFilter(n + 10, 0.01), str(tmp_path / "pstate")
+    )
+    half = batch.limit(batch.count() // 2)
+    flt(half, 0)  # committed epoch 0
+    committed = {r["conv_id"] for r in flt.novel_keys(spark).collect()}
+
+    # simulate the crash: epoch=1's parquet landed but _save(1) never ran
+    stale = batch.select("conv_id").distinct()
+    stale.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "pstate"), "seen", "epoch=1")
+    )
+    assert flt.last_epoch == 0
+    # the stale dir must NOT count as seen
+    visible = {r["conv_id"] for r in flt.novel_keys(spark).collect()}
+    assert visible == committed
+    # replaying epoch 1 with the full batch recovers every remaining key
+    flt(batch, 1)
+    got = [r["conv_id"] for r in flt.novel_keys(spark).collect()]
+    assert len(got) == len(set(got)) == n
