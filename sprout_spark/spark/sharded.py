@@ -199,14 +199,20 @@ def _salted_probe(
     results are independent of which task evaluates them, so any salt
     assignment is exact.
 
-    The positional salt sits on a local FULL-ROW sort so a retried map
-    task reproduces identical salts (else a shuffle-fetch retry could
-    duplicate/drop probe OUTPUT rows — SPARK-23207 class; same
-    content-determinism contract as ``df.repartition(n)``)."""
+    The salt is a CONTENT hash of the whole row — a pure function of row
+    values, so a retried map task always reproduces identical salts (a
+    positional salt would be retry-nondeterministic, SPARK-23207 class:
+    a shuffle-fetch retry could duplicate or drop probe OUTPUT rows).
+    Rows sharing a hot KEY still spread because real probe rows differ
+    in their other columns. Degenerate caveat: byte-identical duplicate
+    ROWS share a salt; if your probe stream is dominated by full-row
+    duplicates, dedupe-and-count upstream (their probe results are
+    identical anyway)."""
     probe = df.withColumn("_shard", shard_id(F.col(key_col), n_shards))
     if probe_salt > 1:
-        probe = probe.sortWithinPartitions(*probe.columns).withColumn(
-            "_psalt", F.pmod(F.monotonically_increasing_id(), F.lit(probe_salt))
+        probe = probe.withColumn(
+            "_psalt",
+            F.pmod(F.xxhash64(F.lit(7), *df.columns), F.lit(probe_salt)),
         )
     else:
         probe = probe.withColumn("_psalt", F.lit(0))
