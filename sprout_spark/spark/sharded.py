@@ -210,9 +210,13 @@ def _salted_probe(
     identical anyway)."""
     probe = df.withColumn("_shard", shard_id(F.col(key_col), n_shards))
     if probe_salt > 1:
+        # xxhash64 rejects MAP-typed inputs (anywhere in the type tree):
+        # hash only the hashable columns. Dropping a column from the salt
+        # only affects load balance, never correctness or determinism.
+        cols = [c for c, t in df.dtypes if "map<" not in t]
         probe = probe.withColumn(
             "_psalt",
-            F.pmod(F.xxhash64(F.lit(7), *df.columns), F.lit(probe_salt)),
+            F.pmod(F.xxhash64(F.lit(7), *(cols or [key_col])), F.lit(probe_salt)),
         )
     else:
         probe = probe.withColumn("_psalt", F.lit(0))

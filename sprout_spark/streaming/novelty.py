@@ -122,17 +122,34 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         dir and treat the old dirs as folded-in, so a partial (3) is
         harmless. On an object store, swap the manifest via its
         conditional-put equivalent."""
+        import glob
         import json
         import shutil
 
+        import pyarrow.parquet as pq
+
+        man = self._manifest()
+        if man["compacted_upto"] >= self.last_epoch:
+            # nothing new to fold — and rewriting the committed generation
+            # dir IN PLACE (gen name would collide with man['dir']) would
+            # destroy the only copy of the store before any commit point
+            return sum(
+                pq.read_metadata(p).num_rows
+                for p in glob.glob(
+                    os.path.join(self.seen_dir, man["dir"] or "", "*.parquet")
+                )
+            )
         seen = self._seen(spark)
         if seen is None:
             return 0
-        man = self._manifest()
         gen = f"compact-{self.last_epoch}"
         gen_path = os.path.join(self.seen_dir, gen)
         seen.repartition(n_files).write.mode("overwrite").parquet(gen_path)
-        n = spark.read.parquet(gen_path).count()
+        # count from the written files' parquet footers: no second scan
+        n = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(os.path.join(gen_path, "*.parquet"))
+        )
         mpath = os.path.join(self.seen_dir, "manifest.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -141,10 +158,15 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
             os.fsync(f.fileno())
         os.replace(tmp, mpath)  # the compaction commit point
         for d in os.listdir(self.seen_dir):
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= self.last_epoch:
-                shutil.rmtree(os.path.join(self.seen_dir, d))
-        if man["dir"] is not None and man["dir"] != gen:
-            shutil.rmtree(os.path.join(self.seen_dir, man["dir"]), ignore_errors=True)
+            folded = (
+                d.startswith("epoch=") and int(d.split("=", 1)[1]) <= self.last_epoch
+            )
+            # also sweep superseded/orphaned generations (a crash between a
+            # gen write and its manifest swap would otherwise leak a full
+            # store copy forever)
+            stale_gen = d.startswith("compact-") and d != gen
+            if folded or stale_gen:
+                shutil.rmtree(os.path.join(self.seen_dir, d), ignore_errors=True)
         return n
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:

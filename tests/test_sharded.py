@@ -192,3 +192,45 @@ def test_probe_salt_results_identical_and_in_shuffle_key(spark, keyed_df):
     )
     assert a == b
     filters.unpersist()
+
+
+def test_probe_with_map_column_and_degenerate_duplicates(spark):
+    """(a) A probe table with a MAP column (events-style props) must not
+    crash the content-hash salt — map types are excluded from the hash.
+    (b) Documented degenerate case: byte-identical key-only probe rows
+    share one salt (correct, just unspread); the documented
+    dedupe-and-count workaround restores both spread and results."""
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sprout_spark.spark.sharded import (
+        _salted_probe,
+        build_sharded_bloom,
+        sharded_might_contain,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("props", MapType(StringType(), LongType())),
+        ]
+    )
+    rows = [(i, {"a": i}) for i in range(500)]
+    df = spark.createDataFrame(rows, schema)
+    filters = build_sharded_bloom(df, "k", n_shards=4, expected_distinct=600)
+    out = sharded_might_contain(df, "k", filters, 4, probe_salt=4)
+    assert out.where(F.col("might_contain")).count() == 500  # no crash, no FN
+
+    # key-only duplicates: all rows identical -> one salt group (documented)
+    dup = spark.range(0, 5000).select(F.lit(7).alias("k"))
+    groups = _salted_probe(dup, "k", 4, 4).groupBy("_shard", "_psalt").count()
+    assert groups.count() == 1
+    # workaround: dedupe-and-count, probe distinct rows
+    distinct = dup.groupBy("k").count()
+    probed = sharded_might_contain(distinct, "k", filters, 4)
+    assert probed.count() == 1
