@@ -75,6 +75,28 @@ def q_bloom_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
 
 
+def q_sql_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same bloom-gated lookup elision driven ENTIRELY through the
+    SQL surface: the filter registers as a session SQL function
+    (spark/sql.py) and plain spark.sql prunes with it before the exact
+    IN-subquery confirm — what a JDBC/notebook SQL user of the engine
+    would write. Result is exact (bloom only prunes)."""
+    from sprout_spark.spark.sql import register_sketch_sql
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    n = orders.count()
+    bf = build_sketch(orders, "o_custkey", lambda: BloomFilter(n + 10, 0.01))
+    register_sketch_sql(spark, "ord", bf)
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT c_custkey FROM customer_v "
+        "WHERE ord_might_contain(c_custkey) "
+        "AND c_custkey IN (SELECT o_custkey FROM orders_v)"
+    )
+
+
 def q_sharded_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-broadcast membership: per-shard filters probed through a
     cogrouped shard join (no filter broadcast anywhere — the path that
@@ -753,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_recall_users": q_bloom_recall_users,
         "sbf_recall_users": q_sbf_recall_users,
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
+        "sql_bloom_semijoin": q_sql_bloom_semijoin,
         "sharded_bloom_recall": q_sharded_bloom_recall,
         "bloom_fpr_bound": q_bloom_fpr_bound,
         "streaming_bloom_recall": q_streaming_bloom_recall,
@@ -974,6 +997,10 @@ def oracle_sql() -> dict[str, str]:
         "bloom_recall_users": "SELECT DISTINCT user_id FROM events",
         "sbf_recall_users": "SELECT DISTINCT user_id FROM events",
         "bloom_semijoin_customers": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "sql_bloom_semijoin": (
             "SELECT c_custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),

@@ -117,7 +117,10 @@ def register_sql_probe(
 
         register_sql_probe(spark, "seen_conv", bloom)
         spark.sql("SELECT * FROM t WHERE seen_conv(conv_id)")
-    """
+
+    The general surface (membership + frequency + rank under one prefix)
+    is ``spark.sql.register_sketch_sql``; this remains the bare
+    single-name membership form."""
     bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(BooleanType())

@@ -362,3 +362,39 @@ def test_grouped_sketches_integer_group_key(spark):
         }
         for k, e in est.items():
             assert abs(e - exact[k]) / exact[k] <= 0.05
+
+
+def test_register_sketch_sql_all_probe_kinds(spark, transcripts):
+    """The full SQL surface: one prefix registers membership, frequency,
+    and rank functions, each matching its DataFrame-API twin."""
+    import numpy as np
+
+    from sprout_spark.sketch import CountMinSketch, TDigest
+    from sprout_spark.spark.sql import register_sketch_sql
+
+    n = transcripts.count()
+    bf = build_sketch(transcripts, "conv_id", lambda: BloomFilter(n + 10, 0.01))
+    assert register_sketch_sql(spark, "s", bf) == ["s_might_contain"]
+    cms = build_sketch(
+        transcripts, "role", lambda: CountMinSketch(eps=0.001, delta=1e-4)
+    )
+    assert register_sketch_sql(spark, "r", cms) == ["r_cms_estimate"]
+    td = build_sketch(transcripts, "turn_idx", lambda: TDigest())
+    assert register_sketch_sql(spark, "t", td) == ["t_quantile_rank"]
+
+    transcripts.createOrReplaceTempView("tsql")
+    got = spark.sql(
+        "SELECT count(*) AS hits, min(r_cms_estimate(role)) AS min_freq, "
+        "avg(t_quantile_rank(turn_idx)) AS mid "
+        "FROM tsql WHERE s_might_contain(conv_id)"
+    ).collect()[0]
+    assert got["hits"] == n  # membership: full recall
+    true_min = transcripts.groupBy("role").count().agg(
+        F.min("count")
+    ).collect()[0][0]
+    assert got["min_freq"] >= true_min  # CMS never undercounts
+    assert 0.3 <= got["mid"] <= 0.7  # average rank fraction near the middle
+    with pytest.raises(ValueError, match="no Arrow probe kernel"):
+        from sprout_spark.sketch import HyperLogLog
+
+        register_sketch_sql(spark, "h", HyperLogLog(p=8))
