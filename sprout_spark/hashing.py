@@ -234,8 +234,15 @@ def pack_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
         if arr.null_count:
             nulls = np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False))
             arr = pc.fill_null(arr, 0)
+        # safe=False ONLY for uint64: values >= 2^63 reinterpret as the
+        # two's-complement int64 with identical LE bytes (a safe cast
+        # raises ArrowInvalid and would kill the build); narrower types
+        # keep the checked widening cast.
+        unsafe = pa.types.is_uint64(arr.type)
         raw = np.ascontiguousarray(
-            arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype("<i8")
+            pc.cast(arr, pa.int64(), safe=not unsafe)
+            .to_numpy(zero_copy_only=False)
+            .astype("<i8")
         )
         n = len(raw)
         mat = np.zeros((n, 16), dtype=np.uint8)
@@ -264,9 +271,14 @@ def pack_any(values) -> tuple[np.ndarray, np.ndarray]:
     for integers (matching :func:`pack_arrow`'s integer-column path)."""
 
     def enc(v):
+        if isinstance(v, (bool, np.bool_)):
+            # bytes(True) == b'\x00' and bytes(False) == b'' would alias
+            # the 1-zero-byte and empty/NULL keys; the Arrow path rejects
+            # bool columns, so the sequence path must too
+            raise TypeError("bool keys have no canonical encoding — cast to int")
         if isinstance(v, str):
             return v.encode("utf-8")
-        if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        if isinstance(v, (int, np.integer)):
             return int(v).to_bytes(8, "little", signed=True)
         return bytes(v)
 

@@ -124,8 +124,9 @@ class CountMinSketch(MergeableSketch):
 
     def heavy_hitters(self, candidates, threshold: float) -> list[tuple]:
         """Candidates whose estimated count >= threshold * N."""
-        est = self.estimate_values(list(candidates))
-        cut = threshold * self.total
+        candidates = list(candidates)  # a generator must not be consumed
+        est = self.estimate_values(candidates)  # twice (once here, once in
+        cut = threshold * self.total  # the zip) — it silently yielded []
         out = [(c, int(e)) for c, e in zip(candidates, est) if e >= cut]
         return sorted(out, key=lambda t: (-t[1], str(t[0])))
 

@@ -67,8 +67,14 @@ class ScalableBloomFilter(MergeableSketch):
     ):
         if not (0.0 < err_rate < 1.0):
             raise ValueError("Error rate must be between 0 and 1")
-        if initial_capacity <= 0:
-            raise ValueError("Initial capacity must be greater than 0")
+        if initial_capacity <= 10:
+            # the underlying bloom geometry requires capacity > 10
+            # (reference bloom.go:95); the reference SBF accepts > 0 at
+            # its own gate (scalable_bloom.go:49) and then fails inside
+            # NewBloom anyway — we fail here, with the real reason
+            raise ValueError(
+                "Initial capacity must be greater than 10 (bloom geometry)"
+            )
         if growth not in (GROWTH_SMALL, GROWTH_LARGE):
             raise ValueError("growth must be 2 or 4")
         if merge_mode not in ("stage", "concat"):
@@ -94,7 +100,11 @@ class ScalableBloomFilter(MergeableSketch):
         if s == 0:
             cap = self.initial_capacity
         else:
-            cap = int(self.m0 * (self.growth ** (s - 1)) * math.log(2))
+            # floor at 11: for small m0 the schedule can compute a stage
+            # capacity <= 10, which the bloom geometry rejects — growing
+            # mid-add must never raise (the reference would error inside
+            # NewBloom here; documented divergence)
+            cap = max(int(self.m0 * (self.growth ** (s - 1)) * math.log(2)), 11)
         return cap, err
 
     def _grow(self) -> None:
@@ -192,7 +202,12 @@ class ScalableBloomFilter(MergeableSketch):
         else:  # concat
             if not isinstance(other, ScalableBloomFilter):
                 raise ValueError("can only merge ScalableBloomFilter")
-            self.stages.extend(other.stages)
+            # copy, never alias: the merged filter's top stage becomes
+            # other's last stage, so later adds to self would otherwise
+            # flip bits INSIDE other (phantom membership in the argument)
+            import copy
+
+            self.stages.extend(copy.deepcopy(st) for st in other.stages)
         return self
 
     def _warn_if_stages_overloaded(self) -> None:

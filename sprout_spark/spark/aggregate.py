@@ -155,21 +155,47 @@ def _merge_group_arrow(tbl: pa.Table) -> pa.Table:
     )
 
 
-def tree_merge(partials: DataFrame, n_partials: int, fanin: int = 64) -> DataFrame:
+def tree_merge(
+    partials: DataFrame,
+    n_partials: int,
+    fanin: int = 64,
+    group_cols: tuple = (),
+    schema: str = None,
+    merge_fn=None,
+) -> DataFrame:
     """Reduce sketch rows level by level; each task merges ≤ fanin sketches.
 
-    Returns a 1-row DataFrame with the fully merged sketch.
+    Returns a 1-row-per-group DataFrame with the fully merged sketch(es).
+    ``group_cols``/``schema``/``merge_fn`` generalize the reduction to
+    keyed partial sets (e.g. the one-pass multi-sketch build reduces per
+    sketch ``name``); the defaults reduce a plain SKETCH_ROW_SCHEMA set
+    to one row.
     """
     df = partials
     n = max(1, n_partials)
+    schema = schema or SKETCH_ROW_SCHEMA
+    merge_fn = merge_fn or _merge_group_arrow
     while n > 1:
         df = (
             df.withColumn("part_id", (F.col("part_id") / fanin).cast("bigint"))
-            .groupBy("part_id")
-            .applyInArrow(_merge_group_arrow, SKETCH_ROW_SCHEMA)
+            .groupBy(*group_cols, "part_id")
+            .applyInArrow(merge_fn, schema)
         )
         n = (n + fanin - 1) // fanin
     return df
+
+
+def collect_merged(merged: DataFrame, factory: Callable[[], MergeableSketch]):
+    """Collect a tree-merged partial set and fold to one driver sketch
+    (defensive: tree_merge should leave exactly one row, but a multi-row
+    result still folds correctly)."""
+    rows = merged.collect()
+    if not rows:
+        return factory()
+    acc = sketch_from_bytes(rows[0]["sketch"])
+    for r in rows[1:]:
+        acc = acc.merge(sketch_from_bytes(r["sketch"]))
+    return acc
 
 
 _PARTIAL_SHUFFLE_WARN_BYTES = 1 << 30  # 1 GiB of full-width partials
@@ -210,14 +236,7 @@ def build_sketch(
     partials = partial_sketches(df, col, factory)
     n = df.rdd.getNumPartitions()
     _warn_if_partials_oversized(factory, n)
-    merged = tree_merge(partials, n, fanin=fanin)
-    rows = merged.collect()
-    if not rows:
-        return factory()
-    acc = sketch_from_bytes(rows[0]["sketch"])
-    for r in rows[1:]:  # defensive: tree_merge should leave exactly one row
-        acc = acc.merge(sketch_from_bytes(r["sketch"]))
-    return acc
+    return collect_merged(tree_merge(partials, n, fanin=fanin), factory)
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +279,14 @@ def build_sketches(
             for name, (c, _) in specs.items():
                 sk = sks[name]
                 arr = batch.column(col_pos[c])
-                if hasattr(sk, "add_packed") and not _is_numeric_arrow(arr.type):
+                if (
+                    hasattr(sk, "add_packed")
+                    and not _is_numeric_arrow(arr.type)
+                    # timestamps route through the same int64 cast as the
+                    # single-sketch path (_update_sketch_from_arrow) —
+                    # pack_arrow rejects them
+                    and not pa.types.is_timestamp(arr.type)
+                ):
                     if c not in packed:
                         packed[c] = pack_arrow(arr)
                     sk.add_packed(*packed[c])
@@ -291,15 +317,14 @@ def build_sketches(
             0, "name", pa.array([tbl.column("name")[0].as_py()], pa.string())
         )
 
-    merged = partials
-    remaining = n
-    while remaining > 1:
-        merged = (
-            merged.withColumn("part_id", (F.col("part_id") / fanin).cast("bigint"))
-            .groupBy("name", "part_id")
-            .applyInArrow(merge_named, MULTI_ROW_SCHEMA)
-        )
-        remaining = (remaining + fanin - 1) // fanin
+    merged = tree_merge(
+        partials,
+        n,
+        fanin=fanin,
+        group_cols=("name",),
+        schema=MULTI_ROW_SCHEMA,
+        merge_fn=merge_named,
+    )
 
     out: dict[str, MergeableSketch] = {}
     for r in merged.collect():

@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sketch.base import MergeableSketch, sketch_from_bytes
-from .aggregate import SKETCH_ROW_SCHEMA, _update_sketch_from_arrow, tree_merge
+from .aggregate import (
+    SKETCH_ROW_SCHEMA,
+    _update_sketch_from_arrow,
+    collect_merged,
+    tree_merge,
+)
 
 CKPT_SCHEMA = SKETCH_ROW_SCHEMA + ", input_desc string, attempt bigint"
 
@@ -72,6 +77,28 @@ def _completed_parts(
     return {int(r["part_id"]) for r in rows}
 
 
+def _input_fingerprint(df: DataFrame) -> str:
+    """Partitioning + source-files fingerprint. Resume skips by PARTITION
+    ID, which is only sound if partition ids still mean the same rows —
+    a repartitioned df or a source with new files would silently skip
+    partitions whose content changed (lost rows in a Bloom = false
+    negatives). The fingerprint rides in input_desc so such resumes are
+    refused instead."""
+    import hashlib
+
+    n = df.rdd.getNumPartitions()
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    fh = (
+        hashlib.md5("\n".join(files).encode()).hexdigest()[:12]
+        if files
+        else "nofiles"
+    )
+    return f"parts={n}/files={fh}"
+
+
 def checkpointed_partials(
     df: DataFrame,
     col: str,
@@ -83,7 +110,7 @@ def checkpointed_partials(
     """Run the partial step, skipping partitions already checkpointed, and
     append the new partials to ``ckpt_dir``. Returns the deduplicated
     full partial set (one row per partition)."""
-    desc = input_desc or f"col={col}"
+    desc = input_desc or f"col={col}/{_input_fingerprint(df)}"
     done = _completed_parts(spark, ckpt_dir, desc)
     done_bc = spark.sparkContext.broadcast(done)
 
@@ -144,13 +171,7 @@ def build_sketch_resumable(
     merged = tree_merge(
         partials.select("part_id", "sketch", "rows", "build_ms"), n, fanin=fanin
     )
-    rows = merged.collect()
-    if not rows:
-        return factory()
-    acc = sketch_from_bytes(rows[0]["sketch"])
-    for r in rows[1:]:
-        acc = acc.merge(sketch_from_bytes(r["sketch"]))
-    return acc
+    return collect_merged(merged, factory)
 
 
 def lineage(spark: SparkSession, ckpt_dir: str) -> DataFrame:

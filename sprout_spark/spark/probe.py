@@ -70,8 +70,13 @@ def _chunked(a) -> pa.Array:
     return a
 
 
-def might_contain(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
-    """Boolean column: sketch membership probe (no false negatives)."""
+# UDF factories: the single source of each probe kernel. The Column API
+# below and the SQL registration surfaces (register_sql_probe here,
+# register_sketch_sql in spark/sql.py) all share these closures, so a fix
+# to null handling / key encoding lands everywhere at once.
+
+
+def contains_udf(spark: SparkSession, sketch: MergeableSketch):
     bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(BooleanType())
@@ -79,11 +84,10 @@ def might_contain(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
         sk = _revive(bc.value)
         return pa.array(sk.contains_arrow(_chunked(a)), pa.bool_())
 
-    return probe(col)
+    return probe
 
 
-def cms_estimate(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
-    """Long column: count-min frequency estimate per value."""
+def estimate_udf(spark: SparkSession, sketch: MergeableSketch):
     bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(LongType())
@@ -91,12 +95,10 @@ def cms_estimate(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
         sk = _revive(bc.value)
         return pa.array(sk.estimate_arrow(_chunked(a)).astype("int64"), pa.int64())
 
-    return est(col)
+    return est
 
 
-def quantile_rank(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
-    """Double column: approximate rank fraction of each value
-    (t-digest ``cdf`` / KLL ``rank``)."""
+def rank_udf(spark: SparkSession, sketch: MergeableSketch):
     bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.arrow_udf(DoubleType())
@@ -106,7 +108,23 @@ def quantile_rank(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
         out = sk.cdf(vals) if hasattr(sk, "cdf") else sk.rank(vals)
         return pa.array(np.atleast_1d(out), pa.float64())
 
-    return rank(col)
+    return rank
+
+
+def might_contain(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
+    """Boolean column: sketch membership probe (no false negatives)."""
+    return contains_udf(spark, sketch)(col)
+
+
+def cms_estimate(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
+    """Long column: count-min frequency estimate per value."""
+    return estimate_udf(spark, sketch)(col)
+
+
+def quantile_rank(spark: SparkSession, sketch: MergeableSketch, col) -> Column:
+    """Double column: approximate rank fraction of each value
+    (t-digest ``cdf`` / KLL ``rank``)."""
+    return rank_udf(spark, sketch)(col)
 
 
 def register_sql_probe(
@@ -121,14 +139,7 @@ def register_sql_probe(
     The general surface (membership + frequency + rank under one prefix)
     is ``spark.sql.register_sketch_sql``; this remains the bare
     single-name membership form."""
-    bc = _broadcast_payload(spark, sketch.to_bytes())
-
-    @F.arrow_udf(BooleanType())
-    def probe(a: pa.Array) -> pa.Array:
-        sk = _revive(bc.value)
-        return pa.array(sk.contains_arrow(_chunked(a)), pa.bool_())
-
-    spark.udf.register(name, probe)
+    spark.udf.register(name, contains_udf(spark, sketch))
 
 
 def bloom_semi_join(

@@ -56,6 +56,36 @@ def test_validation():
         BloomFilter(10, 0.01)  # capacity must be > 10 (bloom.go:95)
     with pytest.raises(ValueError):
         ScalableBloomFilter(0, 0.01)
+    with pytest.raises(ValueError):
+        ScalableBloomFilter(10, 0.01)  # bloom geometry needs > 10
+
+
+def test_sbf_small_capacity_grows_without_crashing():
+    """Regression: the growth schedule can compute a stage capacity <= 10
+    for small m0; growing mid-add must clamp, not raise (a partial build
+    dying partway is a lost-rows hazard)."""
+    sbf = ScalableBloomFilter(11, 0.01)
+    keys = [f"k{i}" for i in range(500)]
+    sbf.update_values(keys)  # forces several grows through tiny stages
+    assert all(sbf.contains(k) for k in keys)  # zero false negatives
+
+
+def test_sbf_concat_merge_does_not_alias_other():
+    """Regression: concat-mode merge must not share stage objects with
+    the merge argument — later adds to the merged filter previously
+    flipped bits inside the other filter (phantom membership)."""
+    a = ScalableBloomFilter(100, 0.01, merge_mode="concat")
+    b = ScalableBloomFilter(100, 0.01, merge_mode="concat")
+    a.update_values(["a1"])
+    b.update_values(["b1"])
+    a.merge(b)
+    before_bits = [st.bits.copy() for st in b.stages]
+    before_count = b.count
+    a.update_values([f"z{i}" for i in range(200)])  # mutate merged filter
+    assert b.count == before_count
+    for st, bits in zip(b.stages, before_bits):
+        assert (st.bits == bits).all()  # b untouched by a's later adds
+    assert a.contains("a1") and a.contains("b1")
 
 
 # ---------------------------------------------------------------- add/contains

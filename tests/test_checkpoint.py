@@ -76,3 +76,20 @@ def test_duplicate_attempts_deduplicated(spark, transcripts, tmp_path):
     truth = build_sketch(transcripts, "conv_id", factory)
     assert resumed.count == n == truth.count
     assert (resumed.bits == truth.bits).all()
+
+
+def test_resume_refuses_repartitioned_source(spark, transcripts_path, tmp_path):
+    """Resume skips by partition id, so a resume whose partition ids no
+    longer mean the same rows (repartitioned df) must be refused, not
+    silently merged into a wrong sketch."""
+    import pytest
+
+    from sprout_spark.spark.checkpoint import build_sketch_resumable
+
+    df = spark.read.parquet(transcripts_path)
+    n = df.count()
+    ck = str(tmp_path / "ck_fp")
+    fac = lambda: BloomFilter(n + 10, 0.01)
+    build_sketch_resumable(df, "conv_id", fac, ck, spark)
+    with pytest.raises(ValueError, match="holds partials for"):
+        build_sketch_resumable(df.repartition(13), "conv_id", fac, ck, spark)

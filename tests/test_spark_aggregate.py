@@ -398,3 +398,27 @@ def test_register_sketch_sql_all_probe_kinds(spark, transcripts):
         from sprout_spark.sketch import HyperLogLog
 
         register_sketch_sql(spark, "h", HyperLogLog(p=8))
+
+
+def test_build_sketches_timestamp_column_matches_single(spark, transcripts):
+    """Regression: the multi-sketch packed fast-path must route timestamp
+    columns through the same int64 cast as build_sketch (pack_arrow
+    rejects timestamps; this crashed in every executor)."""
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.spark.aggregate import build_sketches
+
+    multi = build_sketches(
+        spark.read.parquet(transcripts_path_of(transcripts)),
+        {"ts_distinct": ("ts", lambda: HyperLogLog(p=12))},
+    )["ts_distinct"]
+    single = build_sketch(
+        spark.read.parquet(transcripts_path_of(transcripts)),
+        "ts",
+        lambda: HyperLogLog(p=12),
+    )
+    assert (multi.registers == single.registers).all()
+
+
+def transcripts_path_of(transcripts):
+    # module fixture exposes the DataFrame; reuse its source path
+    return transcripts.inputFiles()[0].rsplit("/", 1)[0]
