@@ -815,7 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _JACCARD_PAIRS_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
@@ -950,7 +950,7 @@ kept AS (
 ),
 tok AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
-  FROM kept WHERE length(trim(text)) > 0
+  FROM kept WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
 inter AS (
@@ -977,8 +977,8 @@ survivors AS (
 ),
 q AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_ws_tokens,
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
            AS n_punct
@@ -1070,8 +1070,8 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         "fingerprint_shared": _fingerprint_oracle_sql(8, 4),
         "text_stats_documents": (
             "SELECT doc_id, length(text) AS n_chars, "
-            "CASE WHEN length(trim(text)) = 0 THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens, "
+            "CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 "
+            "ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_ws_tokens, "
             "len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens, "
             "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) "

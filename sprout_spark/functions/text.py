@@ -27,9 +27,11 @@ _STOPWORDS = {
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count: spaces+1 on trimmed text, 0 for blank.
-    Exact and trivially SQL-oracle-able."""
-    t = F.trim(text)
+    """Whitespace token count: separators+1 on trimmed text, 0 for blank.
+    Exact and trivially SQL-oracle-able. The trim is regex-based: Spark's
+    ``trim()`` strips only ASCII spaces, so leading tabs/newlines would
+    otherwise produce a phantom empty first token (count off by one)."""
+    t = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
@@ -100,7 +102,9 @@ def language_id(df: DataFrame, text_col: str, min_hits: int = 2) -> DataFrame:
     guess = F.when(best < min_hits, F.lit("und"))
     for l in langs:
         guess = guess.when(F.col(f"_hits_{l}") == best, F.lit(l))
-    out = d.withColumn("lang_guess", guess)
+    # NULL text makes every branch condition NULL; the documented answer
+    # for "no identifiable language" is 'und', not NULL
+    out = d.withColumn("lang_guess", guess.otherwise(F.lit("und")))
     return out.drop(*[f"_hits_{l}" for l in langs])
 
 

@@ -112,6 +112,13 @@ def minhash_band_rows(
                 .view(np.uint8)
                 .reshape(n * n_bands, band_r * 8)
             )
+            if band_r * 8 < 16:
+                # packed-hash contract needs width >= 16; band_r=1 is
+                # only 8 wide and crashed the tail path. lens carry the
+                # true byte count so the padding never hashes.
+                padded = np.zeros((n * n_bands, 16), dtype=np.uint8)
+                padded[:, : band_r * 8] = band_mat
+                band_mat = padded
             lens = np.full(n * n_bands, band_r * 8, dtype=np.int64)
             bh = murmur3_64_packed(band_mat, lens, 7).astype(np.int64)
             yield pa.RecordBatch.from_pydict(
@@ -483,20 +490,24 @@ def simhash_signatures_portable(
 
 
 def simhash_near_dup_pairs_portable(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
 ) -> DataFrame:
     """Near-dup pairs from the portable md5 SimHash: candidates share one
     of four 16-bit bands (pigeonhole => total recall at hamming<=3), then
     exact Hamming verify, all JVM-side. Against an all-pairs SQL oracle
-    this *proves* the banding loses nothing."""
+    this *proves* the banding loses nothing. The band self-join routes
+    through :func:`lsh_candidate_pairs` for the hot-bucket guard."""
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only up to 3")
     sigs = simhash_signatures_portable(df, id_col, text_col)
     mask = F.lit(0xFFFF)
     bands = sigs.select(
         "id",
-        "hi",
-        "lo",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), F.col("hi").bitwiseAND(mask).alias("bh")),
@@ -505,36 +516,55 @@ def simhash_near_dup_pairs_portable(
                 F.struct(F.lit(3).alias("band"), F.shiftright("lo", 16).bitwiseAND(mask).alias("bh")),
             )
         ).alias("e"),
-    ).select("id", "hi", "lo", "e.band", "e.bh")
-    l, r = bands.alias("l"), bands.alias("r")
+    ).select("id", "e.band", "e.bh")
+    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode)
+    sa = sigs.select(
+        F.col("id").alias("a"), F.col("hi").alias("_ha"), F.col("lo").alias("_la")
+    )
+    sb = sigs.select(
+        F.col("id").alias("b"), F.col("hi").alias("_hb"), F.col("lo").alias("_lb")
+    )
     return (
-        l.join(r, ["band", "bh"])
-        .where(F.col("l.id") < F.col("r.id"))
+        cands.join(sa, "a")
+        .join(sb, "b")
         .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.expr("bit_count(l.hi ^ r.hi) + bit_count(l.lo ^ r.lo)").alias(
+            "a",
+            "b",
+            F.expr("bit_count(_ha ^ _hb) + bit_count(_la ^ _lb)").alias(
                 "hamming"
             ),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     bands (pigeonhole: any pair within Hamming distance 3 shares at least
     one intact band), verified with ``bit_count(a ^ b) <= max_hamming``
-    entirely JVM-side."""
+    entirely JVM-side.
+
+    Zero-token docs are dropped (every empty doc hashes to sig=0, so they
+    would all collide in every band — a quadratic join of meaningless
+    "empty ~ empty" pairs; same policy as the minhash path). The band
+    self-join routes through :func:`lsh_candidate_pairs`, so the minhash
+    hot-bucket guard applies here too (boilerplate corpora put thousands
+    of template docs in one simhash band bucket)."""
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only up to 3")
-    sigs = simhash_signatures(df, id_col, text_col)
+    nonempty = df.where(
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
+    )
+    sigs = simhash_signatures(nonempty, id_col, text_col)
     bands = sigs.select(
         "id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -548,16 +578,17 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("e"),
-    ).select("id", "simhash", "e.band", "e.bh")
-    l, r = bands.alias("l"), bands.alias("r")
+    ).select("id", "e.band", "e.bh")
+    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode)
+    sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("_sa"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("_sb"))
     return (
-        l.join(r, ["band", "bh"])
-        .where(F.col("l.id") < F.col("r.id"))
+        cands.join(sa, "a")
+        .join(sb, "b")
         .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+            "a",
+            "b",
+            F.expr("bit_count(_sa ^ _sb)").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )

@@ -138,8 +138,15 @@ def extract_image_features(
             xi = (frac[None, :] * np.maximum(ws - 1, 0)[:, None]).astype(np.int64)
             pix = yi[:, :, None] * ws[:, None, None] + xi[:, None, :]
             valid = (pix >= 0) & (pix < lens[:, None, None])
-            src = np.clip(starts[:, None, None] + pix, 0, max(len(data) - 1, 0))
-            thumb = np.where(valid, data[src], 0).astype(np.float32)
+            if len(data):
+                src = np.clip(
+                    starts[:, None, None] + pix, 0, max(len(data) - 1, 0)
+                )
+                thumb = np.where(valid, data[src], 0).astype(np.float32)
+            else:
+                # all payloads empty/null: data is length 0, so even the
+                # clamped gather index 0 is out of bounds — thumbs are 0
+                thumb = np.zeros((n, r, r), dtype=np.float32)
             yield pa.RecordBatch.from_pydict(
                 {
                     "media_id": pa.array(ids, pa.int64()),

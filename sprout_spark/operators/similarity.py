@@ -93,27 +93,52 @@ def srp_bucket_ids(
     return out
 
 
+def _vec_matrix(ids: np.ndarray, emb, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, vecs) with NULL embedding rows dropped and wrong-length rows
+    rejected loudly — ``flatten()`` silently skips null slots, so an
+    unvalidated ``reshape(n, dim)`` dies with an inscrutable size error
+    (or worse, shifts every later row's data by one vector)."""
+    import pyarrow.compute as pc
+
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    valid = np.asarray(pc.is_valid(emb).to_numpy(zero_copy_only=False))
+    lens = np.asarray(
+        pc.fill_null(pc.list_value_length(emb), 0).to_numpy(zero_copy_only=False)
+    )
+    bad = valid & (lens != dim)
+    if bad.any():
+        raise ValueError(
+            f"{int(bad.sum())} embedding row(s) have length != dim={dim} "
+            f"(first bad id: {int(ids[bad][0])})"
+        )
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids[valid], flat.reshape(int(valid.sum()), dim)
+
+
 def srp_signatures(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int = 12,
     n_tables: int = 8,
 ) -> DataFrame:
     """(id, table int, bucket bigint): one row per hash table, built in a
-    single vectorized ``mapInArrow`` pass."""
+    single vectorized ``mapInArrow`` pass. NULL embeddings are dropped
+    (no signature → never a candidate); defaults match
+    :func:`build_srp_index` / :func:`ann_lsh_topk`, so default-built
+    signatures answer default queries (a silent plane-count mismatch
+    would bucket-join nothing)."""
 
     def fn(batches):
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             if len(ids) == 0:
                 continue
-            emb = batch.column(1)
-            if isinstance(emb, pa.ChunkedArray):
-                emb = emb.combine_chunks()
-            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            vecs = flat.reshape(len(ids), dim)
+            ids, vecs = _vec_matrix(ids, batch.column(1), dim)
+            if len(ids) == 0:
+                continue
             buckets = srp_bucket_ids(vecs, dim, n_planes, n_tables)
             yield pa.RecordBatch.from_pydict(
                 {
@@ -253,12 +278,15 @@ def _ivf_assign_kernel(dim: int, cents: np.ndarray):
             emb = batch.column(1)
             if isinstance(emb, pa.ChunkedArray):
                 emb = emb.combine_chunks()
-            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            vecs = flat.reshape(len(ids), dim)
+            kept_ids, vecs = _vec_matrix(ids, emb, dim)
+            if len(kept_ids) == 0:
+                continue
+            if len(kept_ids) != len(ids):  # NULL rows dropped: no cell
+                emb = emb.drop_null()
             cell = (vecs @ cents.T - csq).argmax(axis=1).astype(np.int32)
             yield pa.RecordBatch.from_pydict(
                 {
-                    "id": pa.array(ids, pa.int64()),
+                    "id": pa.array(kept_ids, pa.int64()),
                     "vec": emb,
                     "cell": pa.array(cell, pa.int32()),
                 }

@@ -601,3 +601,93 @@ def test_audio_kernel_sliced_and_offset_arrays():
     ).to_pydict()
     assert out["mean_crossings"][2] == solo["mean_crossings"][0]
     assert out["rms"][2] == solo["rms"][0]
+
+
+def test_simhash_drops_empty_docs_no_quadratic_pairs(spark):
+    """Regression: empty/whitespace-only docs all hashed to sig=0 and
+    paired quadratically with hamming 0. They must be dropped (same
+    policy as minhash), in BOTH simhash variants."""
+    from sprout_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_portable,
+    )
+
+    rows = [(i, "") if i % 2 else (i, " \t\n") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["a"], r["b"]) for r in simhash_near_dup_pairs(df, "doc_id", "text").collect()}
+    assert got == {(100, 101)}  # no empty~empty pairs
+    gotp = {
+        (r["a"], r["b"])
+        for r in simhash_near_dup_pairs_portable(df, "doc_id", "text").collect()
+    }
+    assert gotp == {(100, 101)}
+
+
+def test_minhash_band_r_1_no_crash(spark, docs):
+    """Regression: band_r=1 made the packed band matrix 8 bytes wide,
+    violating the hash kernel's width contract (IndexError)."""
+    bands = minhash_band_rows(docs, "doc_id", "text", n_hashes=16, band_r=1)
+    assert bands.groupBy("id").count().collect()  # runs; 16 bands per doc
+
+
+def test_image_kernel_all_empty_payload_batch(spark):
+    """Regression: a batch whose image payloads are all empty gave a
+    zero-length data buffer and the thumbnail gather raised IndexError."""
+    rows = [
+        (1, "image", "raw", 4, 4, 0, 0, bytearray(b"")),
+        (2, "image", "raw", 2, 2, 0, 0, None),
+    ]
+    schema = (
+        "media_id bigint, kind string, codec string, width int, height int, "
+        "sample_rate int, n_frames int, payload binary"
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert got[1]["mean"] == 0.0 and list(got[1]["thumb"]) == [0.0] * 64
+    assert got[2]["mean"] == 0.0
+
+
+def test_ws_token_count_non_space_whitespace(spark):
+    """Regression: Spark trim() strips only ASCII spaces, so '\\ta b'
+    counted a phantom empty token (3 instead of 2) and '\\t' counted 2."""
+    from sprout_spark.functions.text import ws_token_count
+
+    df = spark.createDataFrame(
+        [("\ta b",), ("\t",), ("a b",), ("",), ("  x  ",)], "t string"
+    )
+    got = [r["n"] for r in df.select(ws_token_count(F.col("t")).alias("n")).collect()]
+    assert got == [2, 0, 2, 0, 1]
+
+
+def test_language_id_null_text_is_und(spark):
+    df = spark.createDataFrame([(1, None), (2, "the of and to a in")],
+                               "doc_id bigint, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in language_id(df, "text").collect()}
+    assert got[1] == "und" and got[2] == "en"
+
+
+def test_srp_and_ivf_reject_bad_embeddings(spark):
+    """NULL embeddings drop (no signature/cell); wrong-length rows raise
+    with the offending id instead of an inscrutable reshape error."""
+    from sprout_spark.operators.similarity import (
+        build_ivf_index,
+        srp_signatures,
+        train_ivf_centroids,
+    )
+
+    rows = [(i, [float(i)] * 8) for i in range(40)] + [(90, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sigs = srp_signatures(df, "vec_id", "embedding", 8, n_planes=4, n_tables=2)
+    assert sigs.where("id = 90").count() == 0  # null dropped
+    assert sigs.select("id").distinct().count() == 40
+    cents = train_ivf_centroids(df.where("embedding IS NOT NULL"),
+                                "vec_id", "embedding", 8, n_cells=4,
+                                train_rows_per_cell=16)
+    ix = build_ivf_index(df, "vec_id", "embedding", 8, cents)
+    assert ix.where("id = 90").count() == 0 and ix.count() == 40
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 5)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="length != dim"):
+        srp_signatures(bad, "vec_id", "embedding", 8, 4, 2).collect()
