@@ -333,15 +333,31 @@ def q_mg_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quantile_bound_df(spark, vals_df, col, sketch, rank_tol):
-    """(q, ok) rows: sketch quantile's exact rank within rank_tol of q."""
-    n = vals_df.count()
+    """(q, ok) rows: sketch quantile's exact rank within rank_tol of q.
+
+    ONE aggregation job computes every bound: the 5 quantile estimates
+    are driver-side constants (from the sketch), so the <= and < counts
+    for all of them are conditional sums in a single pass — the previous
+    2-actions-per-quantile loop re-executed the whole upstream plan 11
+    times (worst for the window/lag latency input)."""
+    ests = {q: float(sketch.quantile(q)) for q in _QS}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, q in enumerate(_QS):
+        c = F.col(col)
+        aggs.append(
+            F.sum(F.when(c <= F.lit(ests[q]), 1).otherwise(0)).alias(f"_le{i}")
+        )
+        aggs.append(
+            F.sum(F.when(c < F.lit(ests[q]), 1).otherwise(0)).alias(f"_lt{i}")
+        )
+    r = vals_df.agg(*aggs).collect()[0]
+    n = r["_n"]
     rows = []
-    for q in _QS:
-        est = sketch.quantile(q)
-        rank = vals_df.where(F.col(col) <= F.lit(float(est))).count() / n
+    for i, q in enumerate(_QS):
+        rank = r[f"_le{i}"] / n
         # rank of the estimate must be within tol; <= comparison can
         # overshoot by the mass of equal values, so check the closed band
-        lo = vals_df.where(F.col(col) < F.lit(float(est))).count() / n
+        lo = r[f"_lt{i}"] / n
         ok = (lo - rank_tol) <= q <= (rank + rank_tol)
         rows.append((float(q), bool(ok)))
     return spark.createDataFrame(rows, "q double, ok boolean")
@@ -524,8 +540,10 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sprout_spark.operators.dedup import simhash_near_dup_pairs_portable
 
     docs = load(spark, sf_dir, "documents")
+    # max_bucket=None: exact-oracle parity, same as the minhash queries
+    # (the star guard would subset the result on boilerplate buckets)
     return simhash_near_dup_pairs_portable(
-        docs, "doc_id", "text", max_hamming=3
+        docs, "doc_id", "text", max_hamming=3, max_bucket=None
     ).select("a", "b", "hamming")
 
 
@@ -814,7 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _JACCARD_PAIRS_SQL = """
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS t
   FROM documents WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
@@ -901,8 +919,8 @@ def _lang_id_oracle_sql(min_hits: int = 2) -> str:
     case = (
         f"CASE WHEN {best} < {min_hits} THEN 'und' "
         + " ".join(f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs)
-        + " END"
-    )
+        + " ELSE 'und' END"  # NULL text: all conditions unknown -> 'und',
+    )  # matching language_id's .otherwise
     return f"""
 WITH t AS (
   SELECT doc_id,
@@ -949,7 +967,7 @@ kept AS (
   SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)
 ),
 tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+  SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS t
   FROM kept WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),

@@ -190,6 +190,25 @@ def flagship_build(
     return n_total
 
 
+def _make_timed(times: dict):
+    """min-of-2 per query: a single bad minute of hypervisor steal
+    otherwise lands entirely on whichever query it overlaps, distorting
+    per-query ratios (r2 saw bloom_build 1.7s and 10.8s in adjacent runs
+    of identical code). Shared by the sketch and pipeline suites so the
+    timing protocol can never drift between them."""
+
+    def timed(name, fn):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+
+    return timed
+
+
 def run_suite(spark, sf_dir: str) -> tuple[dict, int]:
     """Headline per-query timings at the main parallelism level."""
     from pyspark.sql import functions as F
@@ -208,22 +227,9 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, int]:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     n_li = li.count()
-    n_ev = ev.count()
 
     times: dict[str, float] = {}
-
-    def timed(name, fn):
-        # min-of-2: a single bad minute of hypervisor steal otherwise
-        # lands entirely on whichever query it overlaps, distorting
-        # per-query ratios (e.g. r2 saw bloom_build 1.7s and 10.8s in
-        # adjacent runs of identical code)
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+    timed = _make_timed(times)
 
     bf_holder = {}
 
@@ -333,15 +339,7 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
     n_emb = emb.count()
 
     times: dict[str, float] = {}
-
-    def timed(name, fn):
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+    timed = _make_timed(times)
 
     from sprout_spark.operators.dedup import exact_dedup, near_dup_pairs
     from sprout_spark.operators.sampling import stratified_sample
