@@ -1138,7 +1138,11 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
             "SELECT true AS top1_match, true AS recall5_ok"
         ),
         "streaming_novel_docs": (
-            "SELECT DISTINCT md5(text) AS doc_key FROM documents"
+            # WHERE matches the filter's NULL-key drop (novelty.py keeps
+            # only non-null keys; md5(NULL) is NULL) so the two sides
+            # agree by construction even if the testdata gains NULL text
+            "SELECT DISTINCT md5(text) AS doc_key FROM documents "
+            "WHERE text IS NOT NULL"
         ),
         "stratified_sample_documents": (
             "SELECT lang, doc_id FROM ("

@@ -494,14 +494,18 @@ def simhash_near_dup_pairs_portable(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = None,
     oversize_mode: str = "star",
 ) -> DataFrame:
     """Near-dup pairs from the portable md5 SimHash: candidates share one
     of four 16-bit bands (pigeonhole => total recall at hamming<=3), then
-    exact Hamming verify, all JVM-side. Against an all-pairs SQL oracle
-    this *proves* the banding loses nothing. The band self-join routes
-    through :func:`lsh_candidate_pairs` for the hot-bucket guard."""
+    exact Hamming verify, all JVM-side. With the default
+    ``max_bucket=None`` the banding provably loses nothing (the all-pairs
+    SQL oracle checks it); passing a finite ``max_bucket`` trades that
+    total-recall guarantee for bounded candidates in buckets larger than
+    the cap (see :func:`lsh_candidate_pairs` for star/drop/split
+    semantics). The band self-join routes through
+    :func:`lsh_candidate_pairs` either way."""
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only up to 3")
     sigs = simhash_signatures_portable(df, id_col, text_col)
@@ -553,10 +557,14 @@ def simhash_near_dup_pairs(
 
     Zero-token docs are dropped (every empty doc hashes to sig=0, so they
     would all collide in every band — a quadratic join of meaningless
-    "empty ~ empty" pairs; same policy as the minhash path). The band
-    self-join routes through :func:`lsh_candidate_pairs`, so the minhash
-    hot-bucket guard applies here too (boilerplate corpora put thousands
-    of template docs in one simhash band bucket)."""
+    "empty ~ empty" pairs; same policy as the minhash path); NULL texts
+    hash like empty ones and are dropped with them. The band self-join
+    routes through :func:`lsh_candidate_pairs`, so the minhash hot-bucket
+    guard applies here too (boilerplate corpora put thousands of template
+    docs in one simhash band bucket) — note the default
+    ``max_bucket=4096`` means pair recall inside buckets beyond the cap
+    follows the ``oversize_mode`` policy rather than being total; pass
+    ``max_bucket=None`` for unconditional pigeonhole recall."""
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only up to 3")
     nonempty = df.where(

@@ -80,21 +80,31 @@ def stratified_sample(
     if n_per_group < 1:
         raise ValueError("n_per_group must be >= 1")
     salt = max(1, int(salt))
+
+    # collision-free temp names: an input column literally named "_sh"
+    # would otherwise be silently overwritten and dropped from the output
+    def _tmp(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name += "_"
+        return name
+
+    c_sh, c_sb, c_r1, c_r2 = (_tmp(b) for b in ("_sh", "_sb", "_r1", "_r2"))
     h = _order_hash(key_col, hash_mode)
-    tagged = df.withColumn("_sh", h)
+    tagged = df.withColumn(c_sh, h)
     if salt > 1:
         tagged = tagged.withColumn(
-            "_sb", F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(salt))
+            c_sb, F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(salt))
         )
-        w1 = Window.partitionBy(*group_cols, "_sb").orderBy("_sh", key_col)
+        w1 = Window.partitionBy(*group_cols, c_sb).orderBy(c_sh, key_col)
         tagged = (
-            tagged.withColumn("_r1", F.row_number().over(w1))
-            .where(F.col("_r1") <= n_per_group)
-            .drop("_r1", "_sb")
+            tagged.withColumn(c_r1, F.row_number().over(w1))
+            .where(F.col(c_r1) <= n_per_group)
+            .drop(c_r1, c_sb)
         )
-    w2 = Window.partitionBy(*group_cols).orderBy("_sh", key_col)
+    w2 = Window.partitionBy(*group_cols).orderBy(c_sh, key_col)
     return (
-        tagged.withColumn("_r2", F.row_number().over(w2))
-        .where(F.col("_r2") <= n_per_group)
-        .drop("_r2", "_sh")
+        tagged.withColumn(c_r2, F.row_number().over(w2))
+        .where(F.col(c_r2) <= n_per_group)
+        .drop(c_r2, c_sh)
     )

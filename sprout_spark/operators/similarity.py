@@ -240,7 +240,8 @@ def train_ivf_centroids(
     """
     cap = n_cells * train_rows_per_cell
     sample = (
-        df.select(
+        df.where(F.col(vec_col).isNotNull())
+        .select(
             # xxhash64 accepts any column type directly — casting a
             # non-numeric id to bigint would NULL every hash and make the
             # "deterministic sample" whatever Spark scans first
@@ -251,6 +252,12 @@ def train_ivf_centroids(
         .limit(cap)
         .collect()
     )
+    bad = [i for i, r in enumerate(sample) if len(r["v"]) != dim]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} training vector(s) have length != dim={dim} "
+            f"(first bad length: {len(sample[bad[0]]['v'])})"
+        )
     vecs = np.asarray([r["v"] for r in sample], dtype=np.float64)
     if len(vecs) < n_cells:
         raise ValueError(f"need >= {n_cells} training vectors, got {len(vecs)}")
@@ -310,11 +317,15 @@ def build_ivf_index(
     so a query probing ``nprobe`` cells prunes to ``nprobe/n_cells`` of
     the files at the directory level (Catalyst partition pruning, not a
     scan+filter) — the 100-TB probe story."""
+    # the kernel yields the input arrow array unchanged, so the declared
+    # element type must match the INPUT column (array<double> parquet
+    # embeddings would otherwise fail with an arrow schema mismatch)
+    elem = df.schema[vec_col].dataType.elementType.simpleString()
     assigned = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
     ).mapInArrow(
         _ivf_assign_kernel(dim, centroids),
-        "id bigint, vec array<float>, cell int",
+        f"id bigint, vec array<{elem}>, cell int",
     )
     if path is not None:
         assigned.write.mode("overwrite").partitionBy("cell").parquet(path)

@@ -25,13 +25,19 @@ so the accumulated seen-keys table is EXACTLY the stream's distinct key
 set — order-independent, hence SQL-oracle-able (`streaming_novel_docs`).
 
 Scale notes (100 TB): the anti-join input is bloom-maybe rows only —
-``ε·batch + true-repeats``, not the batch; the seen-keys table is the
-big side and at cluster scale should be bucketed by ``xxhash64(key)``
-(bucketed Iceberg/parquet table) so the per-batch anti-join co-locates
-instead of shuffling the full key history every batch; the Bloom should
-be sized for the expected total distinct cardinality (or swapped for the
-SBF/sharded variants this library already provides when one filter
-outgrows a single payload).
+``ε·batch + true-repeats``, not the batch — and the seen-keys store is
+HASH-BUCKETED by ``pmod(xxhash64(key), n_buckets)``: every epoch dir and
+the compacted generation are written ``partitionBy("bucket")``, and each
+micro-batch first computes which buckets its suspects fall in (a
+``<= n_buckets``-row collect) and prunes the store read to those bucket
+directories (Catalyst partition pruning — directory-level, not
+scan+filter). A batch whose suspects hit ``b`` buckets therefore reads
+``b/n_buckets`` of the key history instead of shuffling all of it; the
+anti-join itself keys on ``(bucket, key)`` so matching store slices
+co-locate with their suspects. The Bloom should be sized for the
+expected total distinct cardinality (or swapped for the SBF/sharded
+variants this library already provides when one filter outgrows a
+single payload — the ``factory`` accepts either).
 """
 
 from __future__ import annotations
@@ -58,9 +64,52 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         factory: Callable[[], MergeableSketch],
         state_dir: str,
         fanin: int = 64,
+        n_buckets: int = 64,
     ):
         super().__init__(key_col, factory, state_dir, fanin)
         self.seen_dir = os.path.join(state_dir, "seen")
+        self.n_buckets = self._pin_n_buckets(int(n_buckets))
+
+    def _pin_n_buckets(self, n_buckets: int) -> int:
+        """The bucket count is part of the on-disk layout: a restart with
+        a different value would prune against the wrong directories and
+        silently re-admit seen keys. Pin it in the store on first use and
+        fail loud on any later mismatch."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        import json
+
+        bpath = os.path.join(self.seen_dir, "buckets.json")
+        if os.path.exists(bpath):
+            with open(bpath) as f:
+                pinned = int(json.load(f)["n_buckets"])
+            if pinned != n_buckets:
+                raise ValueError(
+                    f"seen store at {self.seen_dir!r} was built with "
+                    f"n_buckets={pinned}; got {n_buckets}. Re-bucketing "
+                    "requires rewriting the store (compact + migrate)."
+                )
+            return pinned
+        os.makedirs(self.seen_dir, exist_ok=True)
+        tmp = bpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, bpath)
+        return n_buckets
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.col)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    @property
+    def _seen_schema(self) -> str:
+        # explicit schema: a bucketed epoch with zero novel keys writes no
+        # partition dirs at all, and a schema-less read of that empty dir
+        # would fail inference instead of returning an empty frame
+        return f"{self.col} string, bucket int"
 
     # -- committed-state reads -------------------------------------------
     # The COMMIT POINT for an epoch's novel keys is _save(epoch) (the
@@ -82,7 +131,12 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
                 return json.load(f)
         return {"compacted_upto": -1, "dir": None}
 
-    def _seen(self, spark) -> DataFrame | None:
+    def _seen(self, spark, buckets: list[int] | None = None) -> DataFrame | None:
+        """The committed seen-keys store as (key, bucket). With
+        ``buckets`` the read is pruned PER STORE DIRECTORY to matching
+        ``bucket=K`` subdirs before any union — a filter on the partition
+        column, so Catalyst prunes at the directory level and only
+        matching-bucket files are ever listed in the scan."""
         if self.last_epoch < 0 or not os.path.isdir(self.seen_dir):
             return None
         man = self._manifest()
@@ -98,7 +152,16 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
                 paths.append(os.path.join(self.seen_dir, d))
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        parts = []
+        for p in paths:
+            d = spark.read.schema(self._seen_schema).parquet(p)
+            if buckets is not None:
+                d = d.where(F.col("bucket").isin([int(b) for b in buckets]))
+            parts.append(d)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
 
     def novel_keys(self, spark) -> DataFrame:
         """The accumulated novel keys — exactly the stream's distinct
@@ -106,7 +169,7 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         seen = self._seen(spark)
         if seen is None:
             return spark.createDataFrame([], f"{self.col} string")
-        return seen
+        return seen.select(self.col)
 
     def compact(self, spark, n_files: int = 8) -> int:
         """Offline maintenance (run with the stream STOPPED): fold the
@@ -136,7 +199,8 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
             return sum(
                 pq.read_metadata(p).num_rows
                 for p in glob.glob(
-                    os.path.join(self.seen_dir, man["dir"] or "", "*.parquet")
+                    os.path.join(self.seen_dir, man["dir"] or "", "**", "*.parquet"),
+                    recursive=True,
                 )
             )
         seen = self._seen(spark)
@@ -144,11 +208,18 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
             return 0
         gen = f"compact-{self.last_epoch}"
         gen_path = os.path.join(self.seen_dir, gen)
-        seen.repartition(n_files).write.mode("overwrite").parquet(gen_path)
+        # hash-repartition on bucket: each bucket lands wholly in one of
+        # the n_files tasks, so the consolidated store keeps ONE file per
+        # bucket dir (no small-file regrowth) and stays prunable
+        seen.repartition(n_files, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(gen_path)
         # count from the written files' parquet footers: no second scan
         n = sum(
             pq.read_metadata(p).num_rows
-            for p in glob.glob(os.path.join(gen_path, "*.parquet"))
+            for p in glob.glob(
+                os.path.join(gen_path, "**", "*.parquet"), recursive=True
+            )
         )
         mpath = os.path.join(self.seen_dir, "manifest.json")
         tmp = mpath + ".tmp"
@@ -177,33 +248,60 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
             batch_df.select(F.col(self.col).cast("string").alias(self.col))
             .where(F.col(self.col).isNotNull())
             .distinct()
+            .withColumn("bucket", self._bucket_expr())
         )
-        if self.last_epoch >= 0:  # state exists: gate with the bloom
-            maybe = might_contain(spark, self.sketch, F.col(self.col))
-            fresh = keys.where(~maybe)
-            suspects = keys.where(maybe)
-            seen = self._seen(spark)
-            if seen is not None:
-                suspects = suspects.join(seen, self.col, "left_anti")
-            novel = fresh.unionByName(suspects)
-        else:
-            novel = keys
-        # epoch-scoped dir: a replayed epoch overwrites itself, never
-        # double-appends. The dir is UNCOMMITTED until _save(epoch_id)
-        # below — _seen ignores it on replay (see commit-point note), so
-        # a crash here cannot lose bloom-false-positive novel keys.
-        novel.write.mode("overwrite").parquet(
-            os.path.join(self.seen_dir, f"epoch={epoch_id}")
-        )
-        novel_committed = spark.read.parquet(
-            os.path.join(self.seen_dir, f"epoch={epoch_id}")
-        )
-        partial = build_sketch(
-            novel_committed, self.col, self.factory, fanin=self.fanin
-        )
-        self.sketch = self.sketch.merge(partial)
-        self.last_epoch = epoch_id
-        self._save(epoch_id)
+        keys.persist()  # reused by the bucket collect, the write, the build
+        try:
+            if self.last_epoch >= 0:  # state exists: gate with the bloom
+                maybe = might_contain(spark, self.sketch, F.col(self.col))
+                fresh = keys.where(~maybe)
+                suspects = keys.where(maybe)
+                # which store buckets can the suspects possibly live in?
+                # <= n_buckets rows — a bounded driver collect that lets
+                # the anti-join read ONLY matching bucket directories
+                hit = [
+                    r["bucket"]
+                    for r in suspects.select("bucket").distinct().collect()
+                ]
+                if hit:
+                    seen = self._seen(spark, buckets=hit)
+                    if seen is not None:
+                        # join on (bucket, key): the pruned store slices
+                        # co-locate with their suspects on the same keys
+                        suspects = suspects.join(
+                            seen, ["bucket", self.col], "left_anti"
+                        )
+                    novel = fresh.unionByName(suspects)
+                else:
+                    novel = fresh
+            else:
+                novel = keys
+            # epoch-scoped dir: a replayed epoch overwrites itself, never
+            # double-appends (static partitionOverwriteMode truncates the
+            # whole dir). The dir is UNCOMMITTED until _save(epoch_id)
+            # below — _seen ignores it on replay (see commit-point note),
+            # so a crash here cannot lose bloom-false-positive novel keys.
+            epoch_path = os.path.join(self.seen_dir, f"epoch={epoch_id}")
+            # truncate any stale replay remnant ourselves: a session with
+            # partitionOverwriteMode=dynamic would otherwise only replace
+            # the buckets this replay writes, leaving crashed-write debris
+            import shutil
+
+            shutil.rmtree(epoch_path, ignore_errors=True)
+            novel.write.mode("overwrite").partitionBy("bucket").parquet(
+                epoch_path
+            )
+            novel_committed = spark.read.schema(self._seen_schema).parquet(
+                epoch_path
+            )
+            partial = build_sketch(
+                novel_committed, self.col, self.factory, fanin=self.fanin
+            )
+            self.sketch = self.sketch.merge(partial)
+            self.last_epoch = epoch_id
+            self._save(epoch_id)
+        finally:
+            keys.unpersist()
 
 
 def stream_novelty_filter(
@@ -214,14 +312,18 @@ def stream_novelty_filter(
     checkpoint_dir: str,
     trigger: dict | None = None,
     fanin: int = 64,
+    n_buckets: int = 64,
 ):
     """Start a streaming query that accumulates the EXACT distinct-key
-    set of the stream, bloom-gating the per-batch exact check.
+    set of the stream, bloom-gating the per-batch exact check against a
+    hash-bucketed seen store (``n_buckets`` partition dirs; size it so
+    one bucket of the expected total key set fits an executor's scan
+    budget — the value is pinned to the store on first use).
 
     Returns (StreamingQuery, StreamingNoveltyFilter); read
     ``flt.novel_keys(spark)`` after the run.
     """
-    flt = StreamingNoveltyFilter(key_col, factory, state_dir, fanin)
+    flt = StreamingNoveltyFilter(key_col, factory, state_dir, fanin, n_buckets)
     writer = (
         stream_df.writeStream.foreachBatch(flt)
         .option("checkpointLocation", checkpoint_dir)

@@ -691,3 +691,58 @@ def test_srp_and_ivf_reject_bad_embeddings(spark):
     )
     with pytest.raises(Exception, match="length != dim"):
         srp_signatures(bad, "vec_id", "embedding", 8, 4, 2).collect()
+
+
+def test_train_ivf_centroids_tolerates_null_and_rejects_bad_length(spark):
+    """ADVICE r3: the training sample must skip NULL embeddings (instead
+    of collapsing to an object array deep in the matmul) and reject
+    wrong-length vectors with the same loud error style as _vec_matrix."""
+    from sprout_spark.operators.similarity import train_ivf_centroids
+
+    rows = [(i, [float(i % 7)] * 6) for i in range(60)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_ivf_centroids(df, "vec_id", "embedding", 6, n_cells=3,
+                                train_rows_per_cell=32)
+    assert cents.shape == (3, 6)
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 6), (2, [1.0] * 4)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="length != dim"):
+        train_ivf_centroids(bad, "vec_id", "embedding", 6, n_cells=2,
+                            train_rows_per_cell=1)
+
+
+def test_build_ivf_index_preserves_double_embeddings(spark):
+    """ADVICE r3: the mapInArrow output schema must follow the INPUT
+    element type — array<double> embeddings (parquet float64) previously
+    hit an arrow schema mismatch against the hardcoded array<float>."""
+    from sprout_spark.operators.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    rows = [(i, [float(i % 5) + 0.25] * 4) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = train_ivf_centroids(df, "vec_id", "embedding", 4, n_cells=2,
+                                train_rows_per_cell=16)
+    ix = build_ivf_index(df, "vec_id", "embedding", 4, cents)
+    assert dict(ix.dtypes)["vec"] == "array<double>"
+    assert ix.count() == 50
+    # values survive the round-trip exactly (no float32 downcast)
+    v = ix.where("id = 7").collect()[0]["vec"]
+    assert v == [2.25] * 4
+
+
+def test_stratified_sample_survives_reserved_column_names(spark):
+    """ADVICE r3: input columns named like the op's temp columns (_sh,
+    _r2, ...) must pass through unharmed, not be overwritten and dropped."""
+    from sprout_spark.operators.sampling import stratified_sample
+
+    rows = [(f"d{i}", "en" if i % 2 else "fr", i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, _sh int")
+    out = stratified_sample(df, ["lang"], "doc_id", 5, salt=4)
+    assert set(out.columns) == {"doc_id", "lang", "_sh"}
+    got = {r["doc_id"]: r["_sh"] for r in out.collect()}
+    assert len(got) == 10  # 5 per lang
+    for d, v in got.items():
+        assert v == int(d[1:]) * 10  # original _sh values intact

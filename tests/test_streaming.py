@@ -287,3 +287,118 @@ def test_novelty_replay_after_partial_commit_keeps_fp_keys(
     flt(batch, 1)
     got = [r["conv_id"] for r in flt.novel_keys(spark).collect()]
     assert len(got) == len(set(got)) == n
+
+
+def test_novelty_seen_store_bucketed_and_anti_join_pruned(
+    spark, transcripts_path, tmp_path
+):
+    """The scale contract for the seen store: epoch dirs are hash-bucketed
+    (bucket=K partition dirs on disk), and a batch's exact anti-join reads
+    ONLY the bucket directories its suspects hash into — runtime-verified
+    via input_file_name over the pruned read, plus a PartitionFilters
+    assertion on the plan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sprout_spark.plans.explain import formatted_plan
+    from sprout_spark.streaming.novelty import StreamingNoveltyFilter
+
+    batch = spark.read.parquet(transcripts_path)
+    n = batch.select("conv_id").distinct().count()
+    state = str(tmp_path / "bstate")
+    flt = StreamingNoveltyFilter(
+        "conv_id", lambda: BloomFilter(n + 10, 0.01), state, n_buckets=8
+    )
+    flt(batch, 0)  # epoch 0 commits the full key set, bucketed
+
+    # on-disk layout: hive-style bucket dirs inside the epoch dir
+    epoch_dir = os.path.join(state, "seen", "epoch=0")
+    bucket_dirs = [d for d in os.listdir(epoch_dir) if d.startswith("bucket=")]
+    assert len(bucket_dirs) > 1  # really partitioned, not one blob
+
+    # a suspects slice hitting a strict subset of buckets
+    some = batch.select("conv_id").distinct().limit(5)
+    hit = sorted(
+        r["b"]
+        for r in some.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(hit) < len(bucket_dirs)
+    pruned = flt._seen(spark, buckets=hit)
+    # plan-level: the bucket filter reaches the scan as a partition filter
+    assert "PartitionFilters" in formatted_plan(pruned)
+    # runtime-level: only matching bucket dirs are ever read
+    files = [
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files  # the pruned read does return data
+    for f in files:
+        assert any(f"bucket={b}/" in f for b in hit), f
+    # and the pruned slice still answers the anti-join exactly
+    got = {r["conv_id"] for r in some.join(pruned, "conv_id", "left_anti").collect()}
+    assert got == set()  # all 5 keys are seen -> all filtered
+
+
+def test_novelty_n_buckets_pinned(spark, transcripts_path, tmp_path):
+    """Restarting a seen store with a different n_buckets must fail loud:
+    pruning against the wrong layout would silently re-admit seen keys."""
+    from sprout_spark.streaming.novelty import StreamingNoveltyFilter
+
+    state = str(tmp_path / "pinstate")
+    StreamingNoveltyFilter("conv_id", lambda: BloomFilter(100, 0.01), state)
+    with pytest.raises(ValueError, match="n_buckets"):
+        StreamingNoveltyFilter(
+            "conv_id", lambda: BloomFilter(100, 0.01), state, n_buckets=16
+        )
+
+
+def test_stream_novelty_filter_sbf_growth_and_restart(
+    spark, transcripts_path, stream_dir, tmp_path
+):
+    """The unbounded-stream sizing story the docstring advertises: run the
+    novelty filter with a ScalableBloomFilter factory sized far below the
+    stream's distinct count, forcing capacity growth across epochs; the
+    key set stays exact and a restart over the same checkpoint is a
+    no-op (growth state survives via the sketch wire format)."""
+    from sprout_spark.sketch import ScalableBloomFilter
+    from sprout_spark.streaming.novelty import stream_novelty_filter
+
+    batch = spark.read.parquet(transcripts_path)
+    exact = {r["conv_id"] for r in batch.select("conv_id").distinct().collect()}
+    state, ckpt = str(tmp_path / "sbfstate"), str(tmp_path / "sbfckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stream_dir)
+        )
+        q, flt = stream_novelty_filter(
+            stream,
+            "conv_id",
+            # initial capacity far below the ~1000 distinct conv_ids:
+            # the SBF must grow stages across micro-batches
+            lambda: ScalableBloomFilter(initial_capacity=64, err_rate=0.01),
+            state_dir=state,
+            checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+            n_buckets=8,
+        )
+        q.awaitTermination(300)
+        return flt
+
+    flt1 = run()
+    assert len(flt1.sketch.stages) > 1  # growth actually happened
+    got = [r["conv_id"] for r in flt1.novel_keys(spark).collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == exact
+    flt2 = run()  # restart: replays must be no-ops, growth state intact
+    rows = [r["conv_id"] for r in flt2.novel_keys(spark).collect()]
+    assert len(rows) == len(set(rows)) and set(rows) == exact
+    assert flt2.last_epoch == flt1.last_epoch
+    assert len(flt2.sketch.stages) == len(flt1.sketch.stages)
