@@ -778,6 +778,30 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN probe — top-k for a TABLE of queries in ONE job (the
+    contamination-check shape). With nprobe == n_cells the IVF batch path
+    is exact brute force per query, so the full (qid, rank, id) result is
+    reproducible by a plain SQL window over all pairs — a stronger gate
+    than a recall threshold. Covers: per-query probe-cell assignment
+    (vectorized mapInArrow), cell-pruned index join, JVM cosine re-rank,
+    map-side WindowGroupLimit top-k per query."""
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=8)
+    index = build_ivf_index(emb, "vec_id", "embedding", dim, cents)
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return ann_ivf_topk_batch(
+        queries_df, "vec_id", "embedding", index, cents, k=5, nprobe=8
+    ).select("qid", F.col("rank").cast("bigint").alias("rank"), "id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -825,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "stratified_sample_documents": q_stratified_sample_documents,
         "streaming_novel_docs": q_streaming_novel_docs,
     }
@@ -1136,6 +1161,18 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         ),
         "ann_ivf_recall": (
             "SELECT true AS top1_match, true AS recall5_ok"
+        ),
+        "ann_ivf_batch_topk": (
+            # exact per-query top-5 by cosine over ALL pairs: equals the
+            # Spark batch-IVF path because nprobe == n_cells is brute
+            # force; ids break cosine ties on both sides
+            "SELECT qid, rnk AS rank, id FROM ("
+            "SELECT q.vec_id AS qid, d.vec_id AS id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(d.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]) DESC, d.vec_id ASC) AS rnk "
+            "FROM (SELECT * FROM embeddings WHERE vec_id < 8) q "
+            "CROSS JOIN embeddings d) WHERE rnk <= 5"
         ),
         "streaming_novel_docs": (
             # WHERE matches the filter's NULL-key drop (novelty.py keeps

@@ -20,6 +20,11 @@
   inverted file (persistable as cell-partitioned parquet), and a
   partition-pruned probe that touches only ``nprobe/n_cells`` of the
   data.
+* :func:`ann_ivf_topk_batch` / :func:`ann_lsh_topk_batch` — the batch
+  probe surface: top-k for a whole TABLE of queries in one job (join
+  queries to their probe cells/buckets, exact JVM re-rank, map-side
+  WindowGroupLimit top-k per query) instead of one Spark job per query
+  vector.
 """
 
 from __future__ import annotations
@@ -363,6 +368,159 @@ def ann_ivf_topk(
     probe = [int(c) for c in np.argsort(-scores)[:nprobe]]
     cands = index.where(F.col("cell").isin(probe))
     return cosine_topk(cands, "id", "vec", query, k)
+
+
+def _pairwise_cosine(qvec: str = "qvec", vec: str = "vec") -> Column:
+    """Exact cosine between two array columns, JVM-side in double."""
+    a = F.transform(F.col(qvec), lambda x: x.cast("double"))
+    b = F.transform(F.col(vec), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (dot / F.greatest(na * nb, F.lit(1e-12))).cast("double")
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """(qid, id, cosine) -> per-query top-k, best first, deterministic
+    ties. Catalyst plans the rank filter as WindowGroupLimit (map-side
+    bottom-k per qid BEFORE the exchange), so a query with a huge
+    candidate set never ships more than k rows per map task."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("qid", "id", "cosine", F.col("_rk").alias("rank"))
+    )
+
+
+def ann_ivf_topk_batch(
+    queries_df: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    index: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF top-k for a TABLE of queries in ONE job: (qid, id, cosine,
+    rank), best first per query — the contamination-check / per-example
+    retrieval shape, instead of one Spark job per query vector.
+
+    Plan shape: a vectorized ``mapInArrow`` pass assigns each query its
+    ``nprobe`` nearest cells (centroids ride the closure — they are
+    ``n_cells*dim`` floats, broadcast-sized by construction); the index
+    read is pruned to the UNION of probed cells (a ``<= n_cells``-row
+    collect) — directory-level partition pruning when the index was
+    persisted via :func:`build_ivf_index(path=...)`; the (query, cell)
+    pairs then join the pruned index on ``cell`` (broadcast by default —
+    a query table at ``nprobe`` rows per query usually fits; set
+    ``broadcast_queries=False`` to shuffle both sides on ``cell`` for
+    huge query tables, at the cost of skew on popular cells); exact
+    cosine re-ranks JVM-side and a WindowGroupLimit top-k keeps the
+    per-query shuffle at ``k`` rows per map task.
+
+    ``nprobe == n_cells`` degenerates to exact brute force for every
+    query (the correctness gate uses this).
+    """
+    n_cells, dim = centroids.shape
+    nprobe = min(int(nprobe), n_cells)
+    cents = np.asarray(centroids, dtype=np.float64)
+    csq = 0.5 * (cents * cents).sum(axis=1)
+
+    def assign(batches):
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) == 0:
+                continue
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            kept_ids, vecs = _vec_matrix(ids, emb, dim)
+            if len(kept_ids) == 0:
+                continue
+            if len(kept_ids) != len(ids):
+                emb = emb.drop_null()
+            scores = vecs @ cents.T - csq
+            # nprobe best cells per query (order within probes irrelevant)
+            top = np.argpartition(-scores, nprobe - 1, axis=1)[:, :nprobe]
+            n = len(kept_ids)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": pa.array(np.repeat(kept_ids, nprobe), pa.int64()),
+                    "qvec": emb.take(
+                        pa.array(np.repeat(np.arange(n), nprobe), pa.int32())
+                    ),
+                    "cell": pa.array(top.ravel().astype(np.int32), pa.int32()),
+                }
+            )
+
+    elem = queries_df.schema[q_vec_col].dataType.elementType.simpleString()
+    probes = queries_df.select(
+        F.col(q_id_col).cast("bigint").alias("qid"),
+        F.col(q_vec_col).alias("v"),
+    ).mapInArrow(assign, f"qid bigint, qvec array<{elem}>, cell int")
+    # union of probed cells: bounded by n_cells rows, lets the index scan
+    # prune at the directory level before any join
+    hit = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    pruned = index.where(F.col("cell").isin(hit))
+    right = F.broadcast(probes) if broadcast_queries else probes
+    scored = pruned.join(right, "cell").select(
+        "qid", "id", _pairwise_cosine().alias("cosine")
+    )
+    return _topk_per_query(scored, k)
+
+
+def ann_lsh_topk_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries_df: DataFrame,
+    q_id_col: str,
+    q_vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    index: DataFrame | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """SRP-LSH top-k for a TABLE of queries in one job: (qid, id, cosine,
+    rank). The query table runs through the SAME signature kernel as the
+    data (so buckets align by construction), candidate (qid, id) pairs
+    come from shared (table, bucket) cells, and only candidates' vectors
+    are fetched for the exact re-rank — the data table is never scanned
+    per query. ``index`` reuses a persisted signature table from
+    :func:`build_srp_index` (same n_planes/n_tables)."""
+    sigs = (
+        index
+        if index is not None
+        else srp_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
+    )
+    qsigs = srp_signatures(
+        queries_df, q_id_col, q_vec_col, dim, n_planes, n_tables
+    ).withColumnRenamed("id", "qid")
+    right = F.broadcast(qsigs) if broadcast_queries else qsigs
+    cands = (
+        sigs.join(right, ["table", "bucket"]).select("qid", "id").distinct()
+    )
+    qv = queries_df.select(
+        F.col(q_id_col).cast("bigint").alias("qid"),
+        F.col(q_vec_col).alias("qvec"),
+    )
+    dv = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        cands.join(F.broadcast(qv) if broadcast_queries else qv, "qid")
+        .join(dv, "id")
+        .select("qid", "id", _pairwise_cosine().alias("cosine"))
+    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_pairs_exact(

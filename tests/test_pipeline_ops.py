@@ -746,3 +746,112 @@ def test_stratified_sample_survives_reserved_column_names(spark):
     assert len(got) == 10  # 5 per lang
     for d, v in got.items():
         assert v == int(d[1:]) * 10  # original _sh values intact
+
+
+def test_ann_ivf_topk_batch_full_probe_equals_per_query_exact(spark, emb):
+    """nprobe == n_cells makes the batch path exact: for every query it
+    must reproduce the brute-force per-query top-k, ranks and all."""
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        build_ivf_index,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    dim = len(emb.where("vec_id = 0").collect()[0]["embedding"])
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=4,
+                                train_rows_per_cell=64)
+    index = build_ivf_index(emb, "vec_id", "embedding", dim, cents)
+    queries = emb.where("vec_id < 6")
+    got = ann_ivf_topk_batch(queries, "vec_id", "embedding", index, cents,
+                             k=3, nprobe=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"]))
+    assert set(by_q) == set(range(6))
+    for qid in range(6):
+        qv = emb.where(f"vec_id = {qid}").collect()[0]["embedding"]
+        exact = [r["id"] for r in
+                 cosine_topk(emb, "vec_id", "embedding", list(qv), 3).collect()]
+        batch = [i for _, i in sorted(by_q[qid])]
+        assert batch == exact, (qid, batch, exact)
+
+
+def test_ann_ivf_topk_batch_partial_probe_recall(spark, emb):
+    """nprobe < n_cells: one job for all queries, recall stays high and
+    every returned hit's cosine is exact (verifiable against brute force)."""
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        build_ivf_index,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    dim = len(emb.where("vec_id = 0").collect()[0]["embedding"])
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=8,
+                                train_rows_per_cell=64)
+    index = build_ivf_index(emb, "vec_id", "embedding", dim, cents)
+    queries = emb.where("vec_id < 8")
+    got = ann_ivf_topk_batch(queries, "vec_id", "embedding", index, cents,
+                             k=3, nprobe=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    hits = 0
+    for qid in range(8):
+        qv = emb.where(f"vec_id = {qid}").collect()[0]["embedding"]
+        exact = [r["id"] for r in
+                 cosine_topk(emb, "vec_id", "embedding", list(qv), 2).collect()]
+        hits += len(set(exact) & set(by_q.get(qid, [])))
+    assert hits >= 12  # >= 75% top-2 recall across 8 queries
+
+
+def test_ann_lsh_topk_batch_matches_per_query(spark, emb):
+    """The SRP batch probe returns, per query, the same candidates-and-
+    rerank answer as the existing single-query path with identical
+    plane family / table count."""
+    from sprout_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_batch,
+        build_srp_index,
+    )
+
+    dim = len(emb.where("vec_id = 0").collect()[0]["embedding"])
+    index = build_srp_index(emb, "vec_id", "embedding", dim,
+                            n_planes=10, n_tables=8)
+    queries = emb.where("vec_id < 5")
+    got = ann_lsh_topk_batch(emb, "vec_id", "embedding", queries, "vec_id",
+                             "embedding", dim, k=3, n_planes=10, n_tables=8,
+                             index=index)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"]))
+    for qid in range(5):
+        qv = emb.where(f"vec_id = {qid}").collect()[0]["embedding"]
+        single = [r["id"] for r in
+                  ann_lsh_topk(emb, "vec_id", "embedding", list(qv), k=3,
+                               n_planes=10, n_tables=8, index=index).collect()]
+        batch = [i for _, i in sorted(by_q.get(qid, []))]
+        assert batch == single, (qid, batch, single)
+
+
+def test_ann_batch_probe_plan_health(spark, emb):
+    """The batch probe's plan keeps the scale shape: map-side
+    WindowGroupLimit for the per-query top-k and no row-at-a-time
+    Python anywhere."""
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+    from sprout_spark.plans.explain import formatted_plan
+
+    dim = len(emb.where("vec_id = 0").collect()[0]["embedding"])
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=4,
+                                train_rows_per_cell=64)
+    index = build_ivf_index(emb, "vec_id", "embedding", dim, cents)
+    got = ann_ivf_topk_batch(emb.where("vec_id < 4"), "vec_id", "embedding",
+                             index, cents, k=3, nprobe=2)
+    plan = formatted_plan(got)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
