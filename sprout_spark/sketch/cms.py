@@ -142,23 +142,52 @@ class CountMinSketch(MergeableSketch):
         }
 
     # -- wire format -------------------------------------------------------------------
+    # Adaptive density (same contract as HyperLogLog's sparse payloads):
+    # a per-key / per-salt partial touches ~d·distinct cells of the d×w
+    # grid, so below byte-breakeven (16 bytes per nonzero: uint64 flat
+    # index + int64 count vs 8 bytes per dense cell) the payload switches
+    # to (indices, values); ``nnz`` in the meta marks it and both
+    # encodings merge interchangeably.
+
+    def _sparse_nnz(self) -> int | None:
+        nnz = int(np.count_nonzero(self.counts))
+        return nnz if nnz * 16 < self.d * self.w * 8 else None
+
     def _meta(self) -> dict:
-        return {
+        meta = {
             "eps": self.eps,
             "delta": self.delta,
             "total": self.total,
             "hash_mode": self.hash_mode,
         }
+        nnz = self._sparse_nnz()
+        if nnz is not None:
+            meta["nnz"] = nnz
+        return meta
 
     def _payload(self) -> bytes:
-        return self.counts.tobytes()
+        if self._sparse_nnz() is None:
+            return self.counts.tobytes()
+        flat = self.counts.ravel()
+        idx = np.flatnonzero(flat).astype(np.uint64)
+        return idx.tobytes() + flat[idx.astype(np.int64)].tobytes()
 
     @classmethod
     def _from_parts(cls, meta: dict, payload: bytes) -> "CountMinSketch":
         c = cls(meta["eps"], meta["delta"], meta.get("hash_mode", "km"))
-        counts = np.frombuffer(payload, dtype=np.int64)
-        if len(counts) != c.d * c.w:
-            raise ValueError("payload size does not match geometry")
-        c.counts = counts.reshape(c.d, c.w).copy()
+        if "nnz" in meta:
+            nnz = int(meta["nnz"])
+            if len(payload) != nnz * 16:
+                raise ValueError("sparse payload size does not match nnz")
+            idx = np.frombuffer(payload, dtype=np.uint64, count=nnz)
+            vals = np.frombuffer(payload, dtype=np.int64, offset=nnz * 8)
+            if nnz and int(idx.max()) >= c.d * c.w:
+                raise ValueError("sparse cell index out of range")
+            c.counts.ravel()[idx.astype(np.int64)] = vals
+        else:
+            counts = np.frombuffer(payload, dtype=np.int64)
+            if len(counts) != c.d * c.w:
+                raise ValueError("payload size does not match geometry")
+            c.counts = counts.reshape(c.d, c.w).copy()
         c.total = int(meta["total"])
         return c

@@ -147,18 +147,49 @@ class HyperLogLog(MergeableSketch):
         }
 
     # -- wire format ----------------------------------------------------------------
+    # Adaptive density: a partial built over few rows (per-key grouped
+    # builds, small salted slices) touches far fewer than m registers, yet
+    # a dense payload ships all 2^p bytes per (group, partition) through
+    # the merge shuffle. Below the byte-breakeven point (5 bytes per
+    # nonzero: uint32 index + uint8 value) the payload switches to a
+    # sparse (indices, values) encoding; ``nnz`` in the meta marks it, so
+    # dense and sparse payloads interoperate transparently on the merge
+    # side. Saturated sketches stay dense — no regression on the
+    # full-table path.
+
+    def _sparse_nnz(self) -> int | None:
+        nnz = int(np.count_nonzero(self.registers))
+        return nnz if nnz * 5 < self.m else None
+
     def _meta(self) -> dict:
-        return {"p": self.p, "seed": self.seed, "count": self.count}
+        meta = {"p": self.p, "seed": self.seed, "count": self.count}
+        nnz = self._sparse_nnz()
+        if nnz is not None:
+            meta["nnz"] = nnz
+        return meta
 
     def _payload(self) -> bytes:
-        return self.registers.tobytes()
+        if self._sparse_nnz() is None:
+            return self.registers.tobytes()
+        idx = np.flatnonzero(self.registers).astype(np.uint32)
+        return idx.tobytes() + self.registers[idx].tobytes()
 
     @classmethod
     def _from_parts(cls, meta: dict, payload: bytes) -> "HyperLogLog":
         h = cls(meta["p"], meta.get("seed", 0))
-        regs = np.frombuffer(payload, dtype=np.uint8)
-        if len(regs) != h.m:
-            raise ValueError("payload size does not match geometry")
-        h.registers = regs.copy()
+        if "nnz" in meta:
+            nnz = int(meta["nnz"])
+            if len(payload) != nnz * 5:
+                raise ValueError("sparse payload size does not match nnz")
+            idx = np.frombuffer(payload, dtype=np.uint32, count=nnz)
+            vals = np.frombuffer(payload, dtype=np.uint8, offset=nnz * 4)
+            if nnz and int(idx.max()) >= h.m:
+                raise ValueError("sparse register index out of range")
+            h.registers[idx] = vals
+        else:
+            regs = np.frombuffer(payload, dtype=np.uint8)
+            if len(regs) != h.m:
+                raise ValueError("payload size does not match geometry")
+            h.registers = regs.copy()
         h.count = int(meta["count"])
         return h

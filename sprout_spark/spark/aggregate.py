@@ -360,6 +360,29 @@ def build_grouped_sketches(
     """
     out_schema = "key string, sketch binary, rows bigint"
 
+    # grouped-build analog of _warn_if_partials_oversized: HLL/CMS
+    # partials self-shrink (sparse wire payloads), but a Bloom filter's
+    # payload is dense bits at any fill level — per-key full-width
+    # payloads multiply by group count (x salt) through the phase-2
+    # shuffle and the result table itself
+    try:
+        _probe = factory()
+    except Exception:
+        _probe = None
+    if _probe is not None:
+        _size = getattr(_probe, "filter_size", lambda: 0)()
+        if _size * max(int(salt), 1) > (64 << 20):
+            import warnings
+
+            warnings.warn(
+                f"grouped bloom build ships a dense ~{_size >> 20} MiB "
+                f"payload PER KEY{' x salt' if salt and salt > 1 else ''} "
+                "through the merge shuffle; size the per-key filter for "
+                "per-key cardinality, or use HLL/CMS (sparse partials) "
+                "if only estimates are needed",
+                stacklevel=2,
+            )
+
     def build_group(tbl: pa.Table) -> pa.Table:
         # Arrow-native: the value column goes straight to the sketch's
         # vectorized update (exact int64+null handling), never through a

@@ -459,3 +459,93 @@ def test_sbf_stage_aligned_merge_warns_on_overload():
         b.update_values([f"b{i}" for i in range(64)])
         a.merge(b)
         assert not [x for x in w if "overloaded" in str(x.message)]
+
+
+# ---------------------------------------------------------------------------
+# sparse wire payloads (grouped-partial shuffle shrinkage)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sparse_payload_roundtrip_and_merge_interop():
+    """A lightly-filled HLL serializes sparse (5 bytes per nonzero
+    register instead of the dense 2^p), revives bit-identically, and
+    merges interchangeably with dense payloads."""
+    from sprout_spark.sketch import HyperLogLog, sketch_from_bytes
+
+    sparse = HyperLogLog(p=14)
+    sparse.update_values([f"k{i}" for i in range(50)])
+    blob = sparse.to_bytes()
+    assert len(blob) < sparse.m // 4  # far below the dense 16 KiB
+    back = sketch_from_bytes(blob)
+    assert (back.registers == sparse.registers).all()
+    assert back.count == sparse.count and back.estimate() == sparse.estimate()
+
+    dense = HyperLogLog(p=14)
+    dense.update_values([f"d{i}" for i in range(20000)])  # saturates -> dense
+    assert len(dense.to_bytes()) >= dense.m
+    both = sketch_from_bytes(dense.to_bytes()).merge(back)
+    ref = HyperLogLog(p=14)
+    ref.update_values([f"d{i}" for i in range(20000)])
+    ref.update_values([f"k{i}" for i in range(50)])
+    assert (both.registers == ref.registers).all()
+
+
+def test_cms_sparse_payload_roundtrip_and_merge_interop():
+    from sprout_spark.sketch import CountMinSketch, sketch_from_bytes
+
+    sparse = CountMinSketch(eps=0.001, delta=0.01)
+    sparse.update_values(["a", "b", "a", "c"])
+    blob = sparse.to_bytes()
+    assert len(blob) < sparse.d * sparse.w  # well under the dense 8B/cell
+    back = sketch_from_bytes(blob)
+    assert (back.counts == sparse.counts).all() and back.total == sparse.total
+
+    other = CountMinSketch(eps=0.001, delta=0.01)
+    other.update_values(["a", "z"])
+    merged = back.merge(other)
+    assert merged.estimate_values(["a"])[0] == 3
+    assert merged.total == 6
+
+
+def test_grouped_hll_partials_ship_sparse(spark):
+    """Many-groups fixture: every per-key HLL partial crossing the merge
+    shuffle must be byte-smaller than its dense form (the grouped-build
+    scale fix), and the estimates stay exact-ish per group."""
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sketch import HyperLogLog, sketch_from_bytes
+    from sprout_spark.spark.aggregate import build_grouped_sketches, grouped_estimate
+
+    rows = [(f"g{i % 200}", f"v{i}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "key string, val string")
+    sketches = build_grouped_sketches(
+        df, "key", "val", lambda: HyperLogLog(p=12), salt=4
+    )
+    collected = sketches.collect()
+    assert len(collected) == 200
+    dense_size = (1 << 12)
+    for r in collected:
+        assert len(r["sketch"]) < dense_size // 2, r["key"]  # sparse on the wire
+        sk = sketch_from_bytes(r["sketch"])
+        assert abs(sk.estimate() - 20) <= 6  # 20 distinct per group
+    ests = {r["key"]: r["estimate"] for r in grouped_estimate(
+        sketches, lambda s: s.estimate()).collect()}
+    assert len(ests) == 200
+
+
+def test_grouped_bloom_dense_payload_warns(spark):
+    """The grouped-build analog of the oversized-partials warning: a
+    per-key Bloom sized for tens of millions of keys is a dense payload
+    multiplied by group count — warn before the shuffle is planned."""
+    import warnings
+
+    from sprout_spark.sketch import BloomFilter
+    from sprout_spark.spark.aggregate import build_grouped_sketches
+
+    df = spark.createDataFrame([("a", "x")], "key string, val string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_grouped_sketches(
+            df, "key", "val", lambda: BloomFilter(100_000_000, 0.001), salt=1
+        )
+        assert any("PER KEY" in str(x.message) for x in w)
