@@ -140,6 +140,7 @@ def lsh_candidate_pairs(
     band_rows: DataFrame,
     max_bucket: int | None = 4096,
     oversize_mode: str = "star",
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Self-join within (band, bh) buckets → distinct candidate (a, b) pairs.
 
@@ -163,10 +164,22 @@ def lsh_candidate_pairs(
       matters. ``max_bucket=None`` disables the guard.
     * ``oversize_mode="drop"`` discards oversized buckets entirely (the
       conservative "skip boilerplate" policy some pipelines want).
+    * ``oversize_mode="split"`` re-partitions each oversized bucket by a
+      SECONDARY minhash lane — every member's bucket hash in the *next*
+      band, ``(band+1) % n_bands`` — and runs all-pairs within the
+      sub-buckets (star again above the cap, so candidates stay
+      O(n·max_bucket) even for pure boilerplate, where all members share
+      every band and collapse into one sub-bucket). This recovers the
+      pair-level recall star trades away in MIXED oversized buckets:
+      members similar to each other (but not to the representative)
+      agree on other bands too, so they co-land in a sub-bucket and get
+      their all-pairs back. Pass ``n_bands`` when known (callers that
+      built the signatures know it) to avoid a one-row driver agg.
 
     The guard is declarative (one window over the same (band, bh) key the
-    join shuffles on — no extra action, no driver round-trip); use
-    ``lsh_bucket_stats`` to monitor how often it fires.
+    join shuffles on — no extra action, no driver round-trip, except
+    split's optional n_bands probe); use ``lsh_bucket_stats`` to monitor
+    how often it fires.
     """
     if max_bucket is None:
         left = band_rows.alias("l")
@@ -177,8 +190,8 @@ def lsh_candidate_pairs(
             .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
             .distinct()
         )
-    if oversize_mode not in ("star", "drop"):
-        raise ValueError("oversize_mode must be 'star' or 'drop'")
+    if oversize_mode not in ("star", "drop", "split"):
+        raise ValueError("oversize_mode must be 'star', 'drop', or 'split'")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band", "bh")
@@ -198,6 +211,40 @@ def lsh_candidate_pairs(
             .select(F.col("_min").alias("a"), F.col("id").alias("b"))
         )
         pairs = pairs.union(star)
+    elif oversize_mode == "split":
+        if n_bands is None:
+            n_bands = band_rows.agg(F.max("band")).collect()[0][0] + 1
+        over = sized.where(F.col("_n") > max_bucket).select("id", "band", "bh")
+        lane = band_rows.select(
+            "id", F.col("band").alias("_ab"), F.col("bh").alias("_sub")
+        )
+        over = (
+            over.withColumn(
+                "_ab", (F.col("band") + F.lit(1)) % F.lit(int(n_bands))
+            )
+            .join(lane, ["id", "_ab"])
+            .drop("_ab")
+        )
+        w2 = Window.partitionBy("band", "bh", "_sub")
+        sized2 = over.withColumn("_n2", F.count("*").over(w2)).withColumn(
+            "_min2", F.min("id").over(w2)
+        )
+        small2 = sized2.where(F.col("_n2") <= max_bucket).select(
+            "id", "band", "bh", "_sub"
+        )
+        l2, r2 = small2.alias("l"), small2.alias("r")
+        sub_pairs = (
+            l2.join(r2, ["band", "bh", "_sub"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        )
+        star2 = (
+            sized2.where(
+                (F.col("_n2") > max_bucket) & (F.col("id") != F.col("_min2"))
+            )
+            .select(F.col("_min2").alias("a"), F.col("id").alias("b"))
+        )
+        pairs = pairs.union(sub_pairs).union(star2)
     return pairs.distinct()
 
 
@@ -270,7 +317,9 @@ def near_dup_pairs(
         F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
     )
     bands = minhash_band_rows(nonempty, id_col, text_col, n_hashes, band_r)
-    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode)
+    cands = lsh_candidate_pairs(
+        bands, max_bucket, oversize_mode, n_bands=n_hashes // band_r
+    )
     toks = token_sets(nonempty, id_col, text_col)
     return verify_jaccard(cands, toks, threshold)
 
@@ -521,7 +570,7 @@ def simhash_near_dup_pairs_portable(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode)
+    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode, n_bands=4)
     sa = sigs.select(
         F.col("id").alias("a"), F.col("hi").alias("_ha"), F.col("lo").alias("_la")
     )
@@ -587,7 +636,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode)
+    cands = lsh_candidate_pairs(bands, max_bucket, oversize_mode, n_bands=4)
     sa = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("_sa"))
     sb = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("_sb"))
     return (

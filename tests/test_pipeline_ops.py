@@ -855,3 +855,79 @@ def test_ann_batch_probe_plan_health(spark, emb):
     plan = formatted_plan(got)
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_split_mode_recovers_mixed_bucket_pairs(spark):
+    """oversize_mode='split': a MIXED oversized bucket (two internally-
+    similar subgroups) re-partitions by the next band's hash, recovering
+    the within-subgroup all-pairs that star mode trades away, while pure
+    boilerplate (one giant sub-bucket) still degrades to O(n) star pairs."""
+    from sprout_spark.operators.dedup import lsh_candidate_pairs
+
+    # band 0 bucket bh=1: 12 members, subgroup A (0-5) and B (6-11);
+    # band 1 separates them (bh=100 vs bh=200) — but BOTH band-1 buckets
+    # are pushed over the cap with extra members (20-27 join A's band-1
+    # bucket, 30-37 join B's), so no small-bucket path can emit the
+    # within-subgroup pairs; only split's sub-bucketing of the band-0
+    # hot bucket recovers them
+    rows = []
+    for i in range(12):
+        rows.append((i, 0, 1))
+        rows.append((i, 1, 100 if i < 6 else 200))
+    for j, x in enumerate(range(20, 28)):
+        rows.append((x, 0, 1000 + j))  # unique band-0 buckets
+        rows.append((x, 1, 100))
+    for j, x in enumerate(range(30, 38)):
+        rows.append((x, 0, 2000 + j))
+        rows.append((x, 1, 200))
+    bands = spark.createDataFrame(rows, "id bigint, band int, bh bigint")
+
+    star = {(r["a"], r["b"]) for r in
+            lsh_candidate_pairs(bands, max_bucket=10,
+                                oversize_mode="star").collect()}
+    split = {(r["a"], r["b"]) for r in
+             lsh_candidate_pairs(bands, max_bucket=10, oversize_mode="split",
+                                 n_bands=2).collect()}
+    # star loses the within-subgroup pairs not touching a representative
+    assert (7, 8) not in star and (1, 2) not in star
+    # split recovers every within-subgroup pair...
+    for g in (range(0, 6), range(6, 12)):
+        for a in g:
+            for b in g:
+                if a < b:
+                    assert (a, b) in split, (a, b)
+    # ...and never invents cross-subgroup candidates from the hot bucket
+    assert (0, 6) not in split and (5, 11) not in split
+
+    # pure boilerplate: all 20 share BOTH bands -> one oversized
+    # sub-bucket -> star within the sub-bucket, O(n) not O(n^2)
+    boiler = spark.createDataFrame(
+        [(i, b, 7) for i in range(20) for b in (0, 1)],
+        "id bigint, band int, bh bigint",
+    )
+    got = lsh_candidate_pairs(boiler, max_bucket=10, oversize_mode="split",
+                              n_bands=2).collect()
+    assert len(got) == 19  # star: rep connects the other 19, no blowup
+    # n_bands omitted: derived via the one-row agg, same answer
+    got2 = lsh_candidate_pairs(boiler, max_bucket=10,
+                               oversize_mode="split").collect()
+    assert len(got2) == 19
+
+
+def test_near_dup_pairs_split_mode_end_to_end(spark):
+    """Split mode through the full minhash pipeline: a boilerplate corpus
+    with two internally-identical template families in one hot bucket
+    still yields verified pairs inside each family."""
+    from sprout_spark.operators.dedup import near_dup_pairs
+
+    docs = [(i, "alpha beta gamma delta epsilon zeta " + ("x" if i < 30 else "y"))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = near_dup_pairs(df, "doc_id", "text", threshold=0.99,
+                           max_bucket=8, oversize_mode="split")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # identical docs within each family must be paired (connectivity at
+    # minimum; split gives all-pairs when the sub-bucket fits the cap)
+    assert got, "split mode produced no verified pairs"
+    for a, b in got:
+        assert (a < 30) == (b < 30)  # never across families at j=0.99
