@@ -15,14 +15,37 @@ surfaces, so registering adds a name, not a slower path or a second
 payload copy. Functions registered on a session last for the session;
 re-registering the same name replaces the sketch (the standard way to
 roll a nightly-rebuilt filter under a stable SQL name).
+
+A session juggling SEVERAL live sketches uses :class:`SketchCatalog`
+instead of one registration per sketch: catalog entries are addressed by
+a name argument in the SQL itself —
+
+    catalog.put("seen_users", bloom)
+    catalog.put("tool_counts", cms)
+    SELECT * FROM events WHERE sketch_might_contain('seen_users', user_id)
+    SELECT sketch_cms_estimate('tool_counts', tool) FROM events
+
+— so rolling in a rebuilt filter is one ``put``, not a re-registration
+per probe kind, and the function namespace stays three names total.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, LongType
 
 from ..sketch.base import MergeableSketch
-from .probe import contains_udf, estimate_udf, rank_udf
+from .probe import (
+    _broadcast_payload,
+    _chunked,
+    _revive,
+    contains_udf,
+    estimate_udf,
+    rank_udf,
+)
 
 
 def register_sketch_sql(
@@ -53,3 +76,122 @@ def register_sketch_sql(
             f"sketch {type(sketch).__name__} exposes no Arrow probe kernel"
         )
     return names
+
+
+def _dispatch_by_name(bcs: dict, name_arr, kernel, out_np, out_pa):
+    """Slice a probe batch by its sketch-name column (almost always a
+    single literal → one unique + one full-array kernel call) and run
+    ``kernel(sketch, indices)`` per catalog entry. Unknown names fail
+    loud — a typo'd catalog name must never read as 'not seen'."""
+    import pyarrow.compute as pc
+
+    name_arr = _chunked(name_arr)
+    uniq = [u for u in pc.unique(name_arr).to_pylist()]
+    out = np.zeros(len(name_arr), dtype=out_np)
+    for nm in uniq:
+        if nm is None or nm not in bcs:
+            known = sorted(bcs)
+            raise ValueError(
+                f"unknown sketch name {nm!r} in catalog probe; known: {known}"
+            )
+        sk = _revive(bcs[nm].value)
+        idx = np.flatnonzero(
+            pc.equal(name_arr, nm).to_numpy(zero_copy_only=False)
+        )
+        out[idx] = kernel(sk, idx)
+    return pa.array(out, out_pa)
+
+
+class SketchCatalog:
+    """Several live sketches behind THREE stable SQL functions.
+
+    ``put(name, sketch)`` broadcasts the payload (memoized — re-putting
+    an identical sketch reuses the existing broadcast) and rebinds the
+    catalog functions over a snapshot of the current entries; SQL then
+    addresses sketches by name: ``<prefix>_might_contain('seen', col)``,
+    ``<prefix>_cms_estimate('counts', col)``,
+    ``<prefix>_quantile_rank('latency', col)``. ``drop`` removes an
+    entry (subsequent probes of that name raise). The name argument is
+    dispatched vectorized per Arrow batch — with the usual literal name
+    it costs one ``unique()`` per batch, and the probe kernels are the
+    same Arrow-native closures every other surface uses."""
+
+    def __init__(self, spark: SparkSession, prefix: str = "sketch"):
+        self.spark = spark
+        self.prefix = prefix
+        self._sketches: dict[str, MergeableSketch] = {}
+        self._rebind()
+
+    def put(self, name: str, sketch: MergeableSketch) -> "SketchCatalog":
+        self._sketches[name] = sketch
+        self._rebind()
+        return self
+
+    def drop(self, name: str) -> "SketchCatalog":
+        self._sketches.pop(name, None)
+        self._rebind()
+        return self
+
+    def get(self, name: str) -> MergeableSketch:
+        return self._sketches[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._sketches)
+
+    def _rebind(self) -> None:
+        # snapshot dicts: executors see exactly the entries live at the
+        # last put/drop (closures can't observe later driver-side edits)
+        contains_bcs = {
+            n: _broadcast_payload(self.spark, s.to_bytes())
+            for n, s in self._sketches.items()
+            if hasattr(s, "contains_arrow")
+        }
+        estimate_bcs = {
+            n: _broadcast_payload(self.spark, s.to_bytes())
+            for n, s in self._sketches.items()
+            if hasattr(s, "estimate_arrow")
+        }
+        rank_bcs = {
+            n: _broadcast_payload(self.spark, s.to_bytes())
+            for n, s in self._sketches.items()
+            if hasattr(s, "cdf") or hasattr(s, "rank")
+        }
+
+        @F.arrow_udf(BooleanType())
+        def catalog_contains(names: pa.Array, vals: pa.Array) -> pa.Array:
+            v = _chunked(vals)
+            return _dispatch_by_name(
+                contains_bcs,
+                names,
+                lambda sk, idx: sk.contains_arrow(v.take(pa.array(idx))),
+                np.bool_,
+                pa.bool_(),
+            )
+
+        @F.arrow_udf(LongType())
+        def catalog_estimate(names: pa.Array, vals: pa.Array) -> pa.Array:
+            v = _chunked(vals)
+            return _dispatch_by_name(
+                estimate_bcs,
+                names,
+                lambda sk, idx: sk.estimate_arrow(v.take(pa.array(idx))).astype(
+                    "int64"
+                ),
+                np.int64,
+                pa.int64(),
+            )
+
+        @F.arrow_udf(DoubleType())
+        def catalog_rank(names: pa.Array, vals: pa.Array) -> pa.Array:
+            v = _chunked(vals).to_numpy(zero_copy_only=False).astype(np.float64)
+            def kern(sk, idx):
+                x = v[idx]
+                out = sk.cdf(x) if hasattr(sk, "cdf") else sk.rank(x)
+                return np.atleast_1d(out)
+            return _dispatch_by_name(
+                rank_bcs, names, kern, np.float64, pa.float64()
+            )
+
+        self.spark.udf.register(f"{self.prefix}_might_contain", catalog_contains)
+        self.spark.udf.register(f"{self.prefix}_cms_estimate", catalog_estimate)
+        self.spark.udf.register(f"{self.prefix}_quantile_rank", catalog_rank)

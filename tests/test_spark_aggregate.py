@@ -422,3 +422,75 @@ def test_build_sketches_timestamp_column_matches_single(spark, transcripts):
 def transcripts_path_of(transcripts):
     # module fixture exposes the DataFrame; reuse its source path
     return transcripts.inputFiles()[0].rsplit("/", 1)[0]
+
+
+def test_sketch_catalog_two_live_filters(spark, transcripts):
+    """SketchCatalog: several live sketches behind three stable SQL
+    names, addressed by a name argument — two blooms plus a CMS and a
+    t-digest live at once, puts roll in replacements, drops fail loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sketch import BloomFilter, CountMinSketch, TDigest
+    from sprout_spark.spark.aggregate import build_sketch
+    from sprout_spark.spark.sql import SketchCatalog
+
+    df = transcripts
+    n = df.count()
+    convs = build_sketch(df, "conv_id", lambda: BloomFilter(n + 10, 0.01))
+    tools = build_sketch(
+        df.where(F.col("tool").isNotNull()), "tool",
+        lambda: BloomFilter(n + 10, 0.01),
+    )
+    freqs = build_sketch(df, "tool", lambda: CountMinSketch(0.001, 0.01))
+    digest = build_sketch(df, "turn_idx", lambda: TDigest())
+    cat = (
+        SketchCatalog(spark, prefix="cat")
+        .put("convs", convs)
+        .put("tools", tools)
+        .put("freqs", freqs)
+        .put("lat", digest)
+    )
+    assert cat.names() == ["convs", "freqs", "lat", "tools"]
+    df.createOrReplaceTempView("tcat")
+
+    # two different blooms through ONE function name, same query
+    n_conv = spark.sql(
+        "SELECT count(*) AS n FROM tcat WHERE cat_might_contain('convs', conv_id)"
+    ).collect()[0]["n"]
+    assert n_conv == df.count()  # zero false negatives on its own keys
+    miss = spark.sql(
+        "SELECT cat_might_contain('tools', 'definitely-not-a-tool-xyz') AS m"
+    ).collect()[0]["m"]
+    assert miss is False or miss == False  # noqa: E712
+
+    # both names in one expression — per-batch dispatch, not last-put-wins
+    both = spark.sql(
+        "SELECT cat_might_contain('convs', conv_id) AS a, "
+        "cat_might_contain('tools', conv_id) AS b FROM tcat LIMIT 50"
+    ).collect()
+    assert all(r["a"] for r in both)
+    assert not any(r["b"] for r in both)  # conv ids are not tool names
+
+    # frequency + rank kinds live alongside
+    est = spark.sql(
+        "SELECT cat_cms_estimate('freqs', tool) AS e FROM tcat "
+        "WHERE tool IS NOT NULL LIMIT 5"
+    ).collect()
+    assert all(r["e"] >= 1 for r in est)
+    rk = spark.sql(
+        "SELECT cat_quantile_rank('lat', cast(2 AS double)) AS r"
+    ).collect()[0]["r"]
+    assert 0.0 <= rk <= 1.0
+
+    # unknown / dropped names fail loud, never read as "not seen"
+    with pytest.raises(Exception, match="unknown sketch name"):
+        spark.sql("SELECT cat_might_contain('nope', 'x')").collect()
+    cat.drop("tools")
+    with pytest.raises(Exception, match="unknown sketch name"):
+        spark.sql("SELECT cat_might_contain('tools', 'x')").collect()
+    # surviving entries still answer after the rebind
+    again = spark.sql(
+        "SELECT count(*) AS n FROM tcat WHERE cat_might_contain('convs', conv_id)"
+    ).collect()[0]["n"]
+    assert again == n_conv
