@@ -447,6 +447,44 @@ def reference_microbench() -> dict:
     return out
 
 
+def flagship_mix_canary() -> dict:
+    """Spark-free loop with the FLAGSHIP's exact kernel mix — seeded
+    k-pass Bloom + HLL + seeded d-pass CMS over string keys shaped like
+    the flagship's conv ids — so cross-round flagship deltas can be
+    normalized by a canary running the same hash mix, not just the
+    int-key bloom-only loop above (r3 lesson: the km canary dropped -23%
+    while the seeded one dropped -7%; neither covered the flagship's
+    string-key multi-sketch mix, leaving ~20 points unattributed).
+    Identical code and keys every round; sketch update time and key
+    packing time reported separately (the flagship pays both)."""
+    from sprout_spark.hashing import pack_any
+    from sprout_spark.sketch import BloomFilter, CountMinSketch, HyperLogLog
+
+    n = 2_000_000
+    chunk = 250_000
+    bf = BloomFilter(2 * n, 0.001, hash_mode="seeded", enforce_capacity=False)
+    hll = HyperLogLog(p=14)
+    cms = CountMinSketch(0.0005, 0.01, hash_mode="seeded")
+    t0 = time.perf_counter()
+    packed = []
+    for s in range(0, n, chunk):
+        keys = [f"conv-{i:07d}-{i & 15}" for i in range(s, s + chunk)]
+        packed.append(pack_any(keys))
+    pack_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for mat, lens in packed:
+        bf.add_packed(mat, lens)
+        hll.add_packed(mat, lens)
+        cms.add_packed(mat, lens)
+    upd_s = time.perf_counter() - t0
+    assert bf.count == n and hll.count == n and cms.total == n
+    return {
+        "keys": n,
+        "sketch_keys_per_sec": round(n / upd_s, 0),
+        "pack_keys_per_sec": round(n / pack_s, 0),
+    }
+
+
 def main() -> None:
     import tempfile
 
@@ -571,6 +609,7 @@ def main() -> None:
         },
         "pipeline": pipe_times,  # dedup/similarity/sampling ops, same SF
         "reference_workload_20M": micro,
+        "flagship_mix_canary": flagship_mix_canary(),
     }
     print(json.dumps(result))
     write_md(result, t_full)
@@ -681,7 +720,25 @@ def write_md(result: dict, t_full: float) -> None:
             "are box drift, not engine regressions. Normalize cross-round "
             "comparisons by this canary before reading them as code "
             "changes.\n"
+            + _flagship_mix_section(result.get("flagship_mix_canary"))
         )
+
+
+def _flagship_mix_section(mix: dict | None) -> str:
+    if not mix:
+        return ""
+    return (
+        "\n## Flagship-mix canary (Spark-free)\n\n"
+        "The flagship's exact kernel mix — seeded Bloom (k murmur "
+        "passes) + HLL + seeded CMS (d passes) over string conv-id-"
+        "shaped keys — as a single-process numpy loop, identical every "
+        f"round: {mix['keys']:,} keys, "
+        f"{mix['sketch_keys_per_sec']:,.0f} sketch-update keys/s, "
+        f"{mix['pack_keys_per_sec']:,.0f} pack keys/s. Normalize the "
+        "flagship turns/s by THIS number across rounds (it shares the "
+        "flagship's hash mix; the km/seeded int-key loops above do "
+        "not).\n"
+    )
 
 
 if __name__ == "__main__":
