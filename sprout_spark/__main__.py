@@ -71,7 +71,14 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("-input", required=True, help="parquet path")
     sp.add_argument("-column", required=True)
-    sp.add_argument("-capacity", type=int, default=0, help="0 = row count")
+    sp.add_argument(
+        "-capacity",
+        type=int,
+        default=0,
+        help="expected key count; 0 = derive from the input's row count, "
+        "which costs an extra full count() action before the build — "
+        "pass a capacity hint to skip that scan on large inputs",
+    )
     sp.add_argument("-err", type=float, default=DEFAULT_ERR)
     sp.add_argument("-cpus", type=int, default=4)
 
