@@ -398,6 +398,19 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
             centroids=cents, nprobe=4, index=ivf_holder["ix"],
         ).collect(),
     )
+    # batch probe: top-10 for 256 query vectors in ONE job against the
+    # same cached index — the contamination-check shape; compare its
+    # per-query cost against ivf_ann_probe's one-query job
+    from sprout_spark.operators.similarity import ann_ivf_topk_batch
+
+    queries_df = emb.where(F.col("vec_id") < 256)
+    timed(
+        "ivf_ann_batch_probe_256q",
+        lambda: ann_ivf_topk_batch(
+            queries_df, "vec_id", "embedding", ivf_holder["ix"], cents,
+            k=10, nprobe=4,
+        ).count(),
+    )
     ivf_holder["ix"].unpersist()
     docs.unpersist()
     emb.unpersist()
@@ -738,6 +751,19 @@ def _flagship_mix_section(mix: dict | None) -> str:
         "flagship turns/s by THIS number across rounds (it shares the "
         "flagship's hash mix; the km/seeded int-key loops above do "
         "not).\n"
+        "\n## Round-4 bisect of the r3 flagship drop (-27%) — resolved: "
+        "box drift\n\n"
+        "Interleaved A/B of the r2 tree vs the round-4 HEAD on one box "
+        "state (fresh subprocess + session per run, local[8], 3 reps "
+        "each, interleaved): r2 tree 21.13/21.64/20.24 s (best 1.469M "
+        "turns/s), HEAD 21.58/21.23/19.29 s (best 1.541M turns/s) — the "
+        "r2-era CODE runs at r3-era speed on that box state and HEAD is "
+        "~5% faster than the r2 code, so there is no code regression. "
+        "The round-4 bench then measured the flagship at 2.02M turns/s, "
+        "back at r2's 2.03M with zero flagship-path changes: the r3 "
+        "number was taken in a slow hypervisor window. Future rounds: "
+        "normalize against the flagship-mix canary above instead of "
+        "re-running an A/B.\n"
     )
 
 

@@ -107,3 +107,49 @@ def test_mg_bounds_hold_under_any_split(stream, k, n_parts):
         assert est <= c
         assert c <= est + merged.deficit
     assert len(merged.counters) <= k
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=24), min_size=0, max_size=400),
+    p=st.integers(min_value=4, max_value=12),
+)
+def test_hll_wire_roundtrip_any_fill(keys, p):
+    """Serialization must be lossless at EVERY fill level — below and
+    above the sparse/dense breakeven the revived registers, count, and
+    estimate are identical, and a roundtripped sketch merges exactly
+    like the original."""
+    from sprout_spark.sketch import sketch_from_bytes
+
+    h = HyperLogLog(p=p)
+    if keys:
+        h.update_values(keys)
+    back = sketch_from_bytes(h.to_bytes())
+    assert (back.registers == h.registers).all()
+    assert back.count == h.count and back.estimate() == h.estimate()
+    other = HyperLogLog(p=p)
+    other.update_values(["x", "y", "z"])
+    m1 = sketch_from_bytes(h.to_bytes()).merge(other)
+    m2 = HyperLogLog(p=p)
+    if keys:
+        m2.update_values(keys)
+    m2.merge(other)
+    assert (m1.registers == m2.registers).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=16), min_size=0, max_size=200),
+    eps=st.sampled_from([0.1, 0.01, 0.001]),
+)
+def test_cms_wire_roundtrip_any_fill(keys, eps):
+    from sprout_spark.sketch import sketch_from_bytes
+
+    c = CountMinSketch(eps=eps, delta=0.05)
+    if keys:
+        c.update_values(keys)
+    back = sketch_from_bytes(c.to_bytes())
+    assert (back.counts == c.counts).all()
+    assert back.total == c.total
+    if keys:
+        assert (back.estimate_values(keys) == c.estimate_values(keys)).all()
