@@ -778,6 +778,88 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed sketch aggregation with a watermark (the
+    late-data streaming shape): fold the events table through a file
+    stream into per-hour HLL sketches of distinct user_ids via
+    windowed_stream_sketches (withWatermark + window start as the
+    stateful group key). Returns one row per window: the window start,
+    the EXACT row count that reached the window's state (must equal the
+    batch per-window count — proves every row landed in exactly one
+    window through the streaming path), and an estimate-within-bound
+    boolean checked against the batch-exact distinct count. The oracle
+    reproduces wstart + n_rows with date_trunc and asserts the booleans
+    true."""
+    import os
+    import tempfile
+
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.streaming.accumulate import windowed_stream_sketches
+
+    # TIMESTAMP_NTZ -> TIMESTAMP: withWatermark accepts only TimestampType;
+    # the wall-clock rendering (and so the wstart strings) is unchanged
+    events = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    exact = {
+        str(r["w"]["start"]): (r["d"], r["n"])
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("d"), F.count("*").alias("n"))
+        .collect()
+    }
+    schema = "ts timestamp, user_id bigint"
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        events.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = windowed_stream_sketches(
+            stream,
+            "ts",
+            "user_id",
+            lambda: HyperLogLog(p=12),
+            lambda s: s.estimate(),
+            window_duration="1 hour",
+            watermark_delay="1 hour",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("winhll_oracle")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(td, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError("availableNow stream did not finish in 300s")
+        emitted = spark.sql(
+            "SELECT * FROM winhll_oracle"
+        ).collect()  # update mode: keep the LAST emission per window
+    final: dict = {}
+    for r in emitted:
+        if r["key"] not in final or r["rows"] >= final[r["key"]][1]:
+            final[r["key"]] = (r["estimate"], r["rows"])
+    if set(final) != set(exact):
+        raise AssertionError("streamed window set != batch window set")
+    bound = 3 * 1.04 / (1 << 6) + 0.02  # 3 sigma at p=12, small-n slack
+    rows = [
+        (
+            w,
+            int(final[w][1]),
+            bool(abs(final[w][0] - d) / max(d, 1) <= bound),
+        )
+        for w, (d, n) in exact.items()
+    ]
+    return spark.createDataFrame(
+        rows, "wstart string, n_rows bigint, est_ok boolean"
+    )
+
+
 def q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN probe — top-k for a TABLE of queries in ONE job (the
     contamination-check shape). With nprobe == n_cells the IVF batch path
@@ -852,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "stratified_sample_documents": q_stratified_sample_documents,
         "streaming_novel_docs": q_streaming_novel_docs,
+        "windowed_hll_events": q_windowed_hll_events,
     }
 
 
@@ -1180,6 +1263,14 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
             # agree by construction even if the testdata gains NULL text
             "SELECT DISTINCT md5(text) AS doc_key FROM documents "
             "WHERE text IS NOT NULL"
+        ),
+        "windowed_hll_events": (
+            # the streamed path must land every row in exactly one
+            # tumbling window (n_rows exact per window); estimates are
+            # Spark-side-verified booleans (murmur HLL has no SQL twin)
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS wstart, "
+            "count(*) AS n_rows, true AS est_ok "
+            "FROM events GROUP BY 1"
         ),
         "stratified_sample_documents": (
             "SELECT lang, doc_id FROM ("

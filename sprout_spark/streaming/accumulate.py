@@ -175,3 +175,38 @@ def grouped_stream_sketches(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def windowed_stream_sketches(
+    stream_df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    factory: Callable[[], MergeableSketch],
+    estimator: Callable[[MergeableSketch], float],
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time WINDOWED sketch aggregation with a watermark — the
+    late-data streaming shape (north star: "watermarks + windowed aggs
+    for late data"). Emits (key = window start, estimate, rows) per
+    updated window each micro-batch.
+
+    Built by composition: ``withWatermark`` bounds state retention and
+    admits late rows up to ``watermark_delay``; the tumbling
+    ``F.window`` start becomes the group key of
+    :func:`grouped_stream_sketches`, so each window holds one running
+    mergeable sketch as its state value. Mergeability is what makes
+    late data EXACTLY safe here: a late row within the watermark folds
+    into its window's sketch and yields the identical registers the
+    batch build over the complete window would — order-independence is
+    a sketch property, not a best-effort. At 10^12-turn scale the state
+    per window is one sketch payload (not the window's rows), and
+    windows older than the watermark are dropped by Spark's own state
+    eviction."""
+    windowed = stream_df.withWatermark(ts_col, watermark_delay).select(
+        F.window(F.col(ts_col), window_duration)["start"]
+        .cast("string")
+        .alias("wstart"),
+        F.col(val_col),
+    )
+    return grouped_stream_sketches(windowed, "wstart", val_col, factory, estimator)

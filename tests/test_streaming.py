@@ -402,3 +402,131 @@ def test_stream_novelty_filter_sbf_growth_and_restart(
     assert len(rows) == len(set(rows)) and set(rows) == exact
     assert flt2.last_epoch == flt1.last_epoch
     assert len(flt2.sketch.stages) == len(flt1.sketch.stages)
+
+
+def test_windowed_stream_sketches_match_batch_windows(
+    spark, transcripts_path, stream_dir, tmp_path
+):
+    """Event-time windowed HLL over a file stream: per-window estimates
+    must match the exact per-window distinct counts within the HLL
+    bound, windows must cover exactly the batch window set, and rows
+    must partition exactly (every row in exactly one tumbling window)."""
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.streaming.accumulate import windowed_stream_sketches
+
+    batch = spark.read.parquet(transcripts_path)
+    exact = {
+        str(r["w"]["start"]): (r["d"], r["n"])
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("conv_id").alias("d"), F.count("*").alias("n")
+        )
+        .collect()
+    }
+    assert len(exact) > 1  # the fixture really spans several windows
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stream_dir)
+    )
+    out = windowed_stream_sketches(
+        stream,
+        "ts",
+        "conv_id",
+        lambda: HyperLogLog(p=12),
+        lambda s: s.estimate(),
+        window_duration="1 hour",
+        watermark_delay="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winsk")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode re-emits a window each time it changes: keep the LAST
+    # emission per window (rows is monotone within a window's updates)
+    rows = spark.sql("SELECT * FROM winsk").collect()
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["rows"] >= final[r["key"]][1]:
+            final[r["key"]] = (r["estimate"], r["rows"])
+    assert set(final) == set(exact)
+    for w, (d, n) in exact.items():
+        est, nrows = final[w]
+        assert nrows == n, w  # every row reached exactly one window
+        assert abs(est - d) / max(d, 1) <= max(3 * 1.04 / (1 << 6), 0.1), w
+
+
+def test_windowed_stream_sketches_fold_late_data(spark, tmp_path):
+    """A late row arriving within the watermark folds into its window:
+    the final registers equal the batch build over the COMPLETE window
+    (mergeability makes late data exactly safe, not approximately)."""
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.streaming.accumulate import windowed_stream_sketches
+
+    import datetime as dt
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("k", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    on_time = [(t0 + dt.timedelta(minutes=m), f"k{m}") for m in range(0, 50, 5)]
+    late = [(t0 + dt.timedelta(minutes=2), "late-key")]
+    src = str(tmp_path / "latesrc")
+    # file 1: on-time rows; file 2: a row 48 minutes late but within the
+    # 2-hour watermark -> must still land in the 10:00 window
+    spark.createDataFrame(on_time, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src + "/f1")
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(src + "/f2")
+    allrows = spark.createDataFrame(on_time + late, schema)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = windowed_stream_sketches(
+        stream,
+        "ts",
+        "k",
+        lambda: HyperLogLog(p=10),
+        lambda s: s.estimate(),
+        window_duration="1 hour",
+        watermark_delay="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latewin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "lateckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM latewin").collect()
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["rows"] >= final[r["key"]][1]:
+            final[r["key"]] = (r["estimate"], r["rows"])
+    wkey = str(t0.replace(minute=0))
+    assert wkey in final
+    est, n = final[wkey]
+    assert n == len(on_time) + 1  # the late row folded in
+    exact = allrows.select("k").distinct().count()
+    assert abs(est - exact) / exact <= 0.2
