@@ -275,6 +275,35 @@ def q_cms_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_weighted_qty_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED CMS: per-supplier total shipped quantity (each lineitem
+    row adds l_quantity, not 1 — the token-count / byte-count frequency
+    shape). Estimates never under-count the exact sum and over-count by
+    at most eps*N where N is the total added weight."""
+    import math
+
+    from sprout_spark.sketch import CountMinSketch
+    from sprout_spark.spark.aggregate import build_weighted_sketch
+    from sprout_spark.spark.probe import cms_estimate
+
+    li = load(spark, sf_dir, "lineitem")
+    cms = build_weighted_sketch(
+        li, "l_suppkey", "l_quantity", lambda: CountMinSketch(0.0005, 0.01)
+    )
+    exact = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    est = exact.withColumn("est", cms_estimate(spark, cms, F.col("l_suppkey")))
+    bound = int(math.ceil(cms.eps * cms.total))
+    return est.select(
+        "l_suppkey",
+        "qty",
+        (
+            (F.col("est") >= F.col("qty")) & (F.col("est") <= F.col("qty") + bound)
+        ).alias("ok"),
+    )
+
+
 def q_cms_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters (>5% of stream), candidate-free: ONE scan builds a
     Misra-Gries summary (enumerates a guaranteed superset of the heavy
@@ -906,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpointed_bloom_recall": q_checkpointed_bloom_recall,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_bounds": q_cms_event_type_bounds,
+        "cms_weighted_qty_bounds": q_cms_weighted_qty_bounds,
         "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
         "mg_heavy_hitter_tools": q_mg_heavy_hitter_tools,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
@@ -1141,6 +1171,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_type_bounds": (
             "SELECT event_type, count(*) AS cnt, true AS ok "
             "FROM events GROUP BY event_type"
+        ),
+        "cms_weighted_qty_bounds": (
+            "SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+            " AS qty, true AS ok FROM lineitem GROUP BY l_suppkey"
         ),
         "cms_heavy_hitter_tools": (
             "SELECT event_type FROM events GROUP BY event_type "

@@ -239,6 +239,66 @@ def build_sketch(
     return collect_merged(tree_merge(partials, n, fanin=fanin), factory)
 
 
+def build_weighted_sketch(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    factory: Callable[[], MergeableSketch],
+    fanin: int = 64,
+) -> MergeableSketch:
+    """Weighted build: each row adds ``weight_col`` (int64) to its key —
+    the token-count / byte-count frequency shape (e.g. CMS of "how many
+    TOKENS did each source contribute", not "how many rows"). Same
+    partial→tree-merge skeleton as :func:`build_sketch`; the sketch
+    must accept per-row weights (CMS does). NULL weights count 0; NULL
+    keys hash as the empty key, exactly like the unweighted path."""
+    from ..hashing import pack_arrow
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        sk = factory()
+        rows = 0
+        for batch in batches:
+            arr = batch.column(0)
+            w = batch.column(1)
+            rows += len(arr)
+            if not len(arr):
+                continue
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if isinstance(w, pa.ChunkedArray):
+                w = w.combine_chunks()
+            import pyarrow.compute as pc
+
+            weights = (
+                pc.fill_null(pc.cast(w, pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            mat, lens = pack_arrow(arr)
+            sk.add_packed(mat, lens, weights)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        yield pa.RecordBatch.from_pydict(
+            {
+                "part_id": pa.array([pid], pa.int64()),
+                "sketch": pa.array([sk.to_bytes()], pa.binary()),
+                "rows": pa.array([rows], pa.int64()),
+                "build_ms": pa.array(
+                    [(time.perf_counter() - t0) * 1000.0], pa.float64()
+                ),
+            }
+        )
+
+    partials = df.select(
+        F.col(col), F.col(weight_col).cast("long").alias("_w")
+    ).mapInArrow(fn, SKETCH_ROW_SCHEMA)
+    n = df.rdd.getNumPartitions()
+    return collect_merged(tree_merge(partials, n, fanin=fanin), factory)
+
+
 # ---------------------------------------------------------------------------
 # one-pass multi-sketch build: scan once, build every sketch
 # ---------------------------------------------------------------------------

@@ -931,3 +931,43 @@ def test_near_dup_pairs_split_mode_end_to_end(spark):
     assert got, "split mode produced no verified pairs"
     for a, b in got:
         assert (a < 30) == (b < 30)  # never across families at j=0.99
+
+
+def test_ann_batch_probe_partition_pruned_on_persisted_index(spark, emb, tmp_path):
+    """The batch probe against a PERSISTED index must prune at the
+    directory level: its cell-isin filter reaches the scan as a
+    PartitionFilter, and input_file_name over the scored frame shows
+    only probed-cell files were read."""
+    from pyspark.sql import functions as F
+
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+    from sprout_spark.plans.explain import formatted_plan
+
+    dim = len(emb.where("vec_id = 0").collect()[0]["embedding"])
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=8,
+                                train_rows_per_cell=64)
+    path = str(tmp_path / "bivf")
+    index = build_ivf_index(emb, "vec_id", "embedding", dim, cents, path=path)
+    queries = emb.where("vec_id < 3")
+    got = ann_ivf_topk_batch(queries, "vec_id", "embedding", index, cents,
+                             k=3, nprobe=2)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+    rows = got.collect()
+    assert {r["qid"] for r in rows} == {0, 1, 2}
+    # probed cells: union over the 3 queries at nprobe=2 — strict subset
+    import numpy as np
+    q = np.asarray([r["embedding"] for r in queries.collect()], dtype=np.float64)
+    scores = q @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    probed = {int(c) for row in np.argsort(-scores, axis=1)[:, :2] for c in row}
+    assert len(probed) < 8
+    pruned = index.where(F.col("cell").isin(sorted(probed)))
+    files = [r["f"] for r in
+             pruned.select(F.input_file_name().alias("f")).distinct().collect()]
+    assert files
+    for f in files:
+        assert any(f"cell={c}/" in f for c in probed), f

@@ -494,3 +494,37 @@ def test_sketch_catalog_two_live_filters(spark, transcripts):
         "SELECT count(*) AS n FROM tcat WHERE cat_might_contain('convs', conv_id)"
     ).collect()[0]["n"]
     assert again == n_conv
+
+
+def test_build_weighted_sketch_cms_bounds_and_parallelism(spark, transcripts):
+    """Weighted CMS build: per-key estimates bound the exact weighted
+    sums (never under, over by <= eps*N where N = total weight), the
+    result is parallelism-invariant, and NULL weights add zero."""
+    df = transcripts.select(
+        "tool", F.length("text").cast("long").alias("w")
+    ).where(F.col("tool") != "")
+    from sprout_spark.spark.aggregate import build_weighted_sketch
+
+    cms = build_weighted_sketch(
+        df.repartition(8), "tool", "w", lambda: CountMinSketch(0.0005, 0.01)
+    )
+    exact = {
+        r["tool"]: r["s"]
+        for r in df.groupBy("tool").agg(F.sum("w").alias("s")).collect()
+    }
+    n = sum(exact.values())
+    assert cms.total == n
+    for tool, s in exact.items():
+        est = cms.estimate(tool)
+        assert s <= est <= s + cms.eps * n, tool
+    # parallelism invariance (weights make ordering irrelevant too)
+    cms2 = build_weighted_sketch(
+        df.repartition(2), "tool", "w", lambda: CountMinSketch(0.0005, 0.01)
+    )
+    assert (cms.counts == cms2.counts).all()
+    # NULL weights count zero (row observed, nothing added)
+    nulled = spark.createDataFrame(
+        [("a", 5), ("a", None), ("b", 2)], "k string, w int"
+    )
+    c3 = build_weighted_sketch(nulled, "k", "w", lambda: CountMinSketch(0.01, 0.01))
+    assert c3.estimate("a") == 5 and c3.estimate("b") == 2 and c3.total == 7
