@@ -117,6 +117,27 @@ def q_sharded_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_sbf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded membership with UNKNOWN cardinality: per-shard
+    ScalableBloomFilters grow to their own populations (no
+    expected_distinct parameter — the build the 10^12-key tier needs
+    when the distinct count cannot be pre-estimated), probed through the
+    same broadcast-free cogroup join. Zero false negatives through
+    sharding + growth => result == all distinct user_ids."""
+    from sprout_spark.spark.sharded import build_sharded_sbf, sharded_might_contain
+
+    events = load(spark, sf_dir, "events")
+    filters = build_sharded_sbf(
+        events, "user_id", n_shards=8, err_rate=0.001, initial_capacity=64
+    )
+    distinct = events.select("user_id").distinct()
+    return (
+        sharded_might_contain(distinct, "user_id", filters, 8)
+        .where(F.col("might_contain"))
+        .select("user_id")
+    )
+
+
 def q_bloom_fpr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed FPR on held-out probes ≤ ε + 95% binomial CI slack."""
     events = load(spark, sf_dir, "events")
@@ -930,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
         "sql_bloom_semijoin": q_sql_bloom_semijoin,
         "sharded_bloom_recall": q_sharded_bloom_recall,
+        "sharded_sbf_recall": q_sharded_sbf_recall,
         "bloom_fpr_bound": q_bloom_fpr_bound,
         "streaming_bloom_recall": q_streaming_bloom_recall,
         "checkpointed_bloom_recall": q_checkpointed_bloom_recall,
@@ -1162,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_fpr_bound": "SELECT true AS fpr_ok",
         "sharded_bloom_recall": "SELECT DISTINCT user_id FROM events",
+        "sharded_sbf_recall": "SELECT DISTINCT user_id FROM events",
         "streaming_bloom_recall": "SELECT DISTINCT user_id FROM events",
         "checkpointed_bloom_recall": "SELECT DISTINCT user_id FROM events",
         "hll_distinct_users": (

@@ -40,6 +40,7 @@ from pyspark.sql.types import BooleanType
 
 from ..sketch.base import MergeableSketch, merge_serialized, sketch_from_bytes
 from ..sketch.bloom import BloomFilter
+from ..sketch.scalable_bloom import ScalableBloomFilter
 from .aggregate import _update_sketch_from_arrow
 
 SHARD_ROW_SCHEMA = "shard bigint, sketch binary, rows bigint, n_shards int"
@@ -163,6 +164,40 @@ def build_sharded_bloom(
         col,
         n_shards,
         lambda: BloomFilter(per_shard, err_rate, enforce_capacity=False),
+        salt=salt,
+    )
+
+
+def build_sharded_sbf(
+    df: DataFrame,
+    col: str,
+    n_shards: int,
+    err_rate: float = 0.001,
+    initial_capacity: int = 4096,
+    salt: int = 0,
+) -> DataFrame:
+    """Sharded membership WITHOUT a cardinality estimate: each shard
+    holds a ScalableBloomFilter that grows to its own population, so —
+    unlike :func:`build_sharded_bloom` — no ``expected_distinct`` is
+    needed. The right default when the distinct count is unknown or the
+    stream is unbounded; the fixed-size variant stays ~30% smaller when
+    the cardinality IS known (growth stages overshoot geometrically).
+
+    FPR accounting: with ``salt > 1`` each shard merges ``salt`` grown
+    partials via stage-concat, compounding FPRs additively — so each
+    partial is built at ``err_rate / salt`` with ``strict=True``
+    (ε·(1−r) headroom for the stage schedule), keeping every shard's
+    compound bound ≤ ``err_rate`` (``prob()``/``prob_observed()`` on the
+    revived shard report it; pytest-gated)."""
+    parts = max(1, int(salt))
+    eps = err_rate / parts
+    return build_sharded_sketch(
+        df,
+        col,
+        n_shards,
+        lambda: ScalableBloomFilter(
+            initial_capacity, eps, merge_mode="concat", strict=True
+        ),
         salt=salt,
     )
 

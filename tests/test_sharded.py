@@ -234,3 +234,46 @@ def test_probe_with_map_column_and_degenerate_duplicates(spark):
     distinct = dup.groupBy("k").count()
     probed = sharded_might_contain(distinct, "k", filters, 4)
     assert probed.count() == 1
+
+
+def test_sharded_sbf_no_cardinality_needed(spark, transcripts_path):
+    """build_sharded_sbf: membership at unknown cardinality — shards
+    grow to their own populations (no expected_distinct argument), zero
+    false negatives survive sharding + growth, per-shard compound FPR
+    stays within the configured bound, and the salted build (partials
+    concat-merged at err/salt) keeps the same contract."""
+    from sprout_spark.sketch import ScalableBloomFilter
+    from sprout_spark.sketch.base import sketch_from_bytes
+    from sprout_spark.spark.sharded import build_sharded_sbf, sharded_might_contain
+
+    transcripts = spark.read.parquet(transcripts_path)
+    err = 0.01
+    for salt in (0, 4):
+        filters = build_sharded_sbf(
+            transcripts, "conv_id", n_shards=4, err_rate=err,
+            initial_capacity=64, salt=salt,
+        ).cache()
+        rows = filters.collect()
+        assert len(rows) == 4
+        grew = 0
+        for r in rows:
+            sk = sketch_from_bytes(r["sketch"])
+            assert isinstance(sk, ScalableBloomFilter)
+            grew += len(sk.stages) > 1
+            assert sk.prob() <= err + 1e-12, (salt, r["shard"], sk.prob())
+        assert grew == 4  # initial_capacity=64 vs ~250 distincts/shard
+        distinct = transcripts.select("conv_id").distinct()
+        probed = sharded_might_contain(distinct, "conv_id", filters, 4)
+        assert probed.where(~F.col("might_contain")).count() == 0
+        # FPR: absent keys mostly reject
+        absent = spark.range(50_000).select(
+            F.concat(F.lit("nope-"), F.col("id")).alias("conv_id")
+        )
+        fp = (
+            sharded_might_contain(absent, "conv_id", filters, 4)
+            .where(F.col("might_contain"))
+            .count()
+        )
+        import math
+        assert fp / 50_000 <= err + 1.96 * math.sqrt(err * (1 - err) / 50_000)
+        filters.unpersist()
