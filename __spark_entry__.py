@@ -597,6 +597,19 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", "hamming")
 
 
+def q_repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition counters (duplicate token
+    / 2-gram / 3-gram numerators+denominators as exact integers) — the
+    standard repetition quality filters, pure JVM expressions."""
+    from sprout_spark.functions.text import with_repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return with_repetition_stats(docs, "text").select(
+        "doc_id", "n_tokens", "n_dup_tokens", "n_2grams", "n_dup_2grams",
+        "n_3grams", "n_dup_3grams",
+    )
+
+
 def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sprout_spark.functions.text import with_text_stats
 
@@ -973,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "text_stats_documents": q_text_stats_documents,
+        "repetition_stats_documents": q_repetition_stats_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_shared": q_fingerprint_shared,
         "media_metadata_prune": q_media_metadata_prune,
@@ -1251,6 +1265,24 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         "simhash_dup_pairs": _simhash_oracle_sql(3),
         "lang_id_documents": _lang_id_oracle_sql(2),
         "fingerprint_shared": _fingerprint_oracle_sql(8, 4),
+        "repetition_stats_documents": """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
+         ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(t) AS n_tokens, len(t) - len(list_distinct(t)) AS n_dup_tokens,
+  len(g2) AS n_2grams, len(g2) - len(list_distinct(g2)) AS n_dup_2grams,
+  len(g3) AS n_3grams, len(g3) - len(list_distinct(g3)) AS n_dup_3grams
+FROM (
+  SELECT doc_id, t,
+    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3
+  FROM toks
+)
+""",
         "text_stats_documents": (
             "SELECT doc_id, length(text) AS n_chars, "
             "CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 "

@@ -214,3 +214,49 @@ def document_fingerprints(
     return df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(text_col).alias("t")
     ).mapInArrow(fn, "id bigint, fp bigint")
+
+
+def with_repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Intra-document repetition counters (the Gopher-style repetition
+    quality filters, Rae et al. 2021 §A1.1: documents dominated by
+    repeated fragments are low-quality): per row, whitespace-token
+    counts plus duplicate-token / duplicate-2-gram / duplicate-3-gram
+    counts. Emitted as exact INTEGER numerator/denominator pairs
+    (``n_dup_2grams`` / ``n_2grams`` etc.) rather than precomputed
+    fractions, so the SQL oracle compares bit-exactly and callers pick
+    their own thresholds (``n_dup_3grams > 0.1 * n_3grams`` style).
+
+    Pure JVM expressions end to end (split → slice windows via
+    ``transform(sequence)`` → ``array_distinct`` set sizes) — whole-stage
+    codegen, no Python, no shuffle; blank/whitespace-only docs get all
+    zeros. Tokenization matches :func:`ws_token_count` (regex trim +
+    ``\\s+`` split), so the counters compose with `with_text_stats`."""
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.when(F.length(t) == 0, F.array()).otherwise(F.split(t, r"\s+"))
+    out = df.withColumn("_toks", toks)
+    n = F.size(F.col("_toks"))
+
+    def gram_counts(k: int, prefix: str):
+        if k == 1:
+            grams = F.col("_toks")
+        else:
+            # window i..i+k-1 joined by a single space: slice is 1-based
+            grams = F.when(n < k, F.array()).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+                )
+            )
+        total = F.size(grams)
+        dup = total - F.size(F.array_distinct(grams))
+        return [
+            (f"n_{prefix}", total.cast("long")),
+            (f"n_dup_{prefix}", dup.cast("long")),
+        ]
+
+    cols = (
+        gram_counts(1, "tokens") + gram_counts(2, "2grams") + gram_counts(3, "3grams")
+    )
+    for name, c in cols:
+        out = out.withColumn(name, c)
+    return out.drop("_toks")

@@ -971,3 +971,34 @@ def test_ann_batch_probe_partition_pruned_on_persisted_index(spark, emb, tmp_pat
     assert files
     for f in files:
         assert any(f"cell={c}/" in f for c in probed), f
+
+
+def test_repetition_stats_counts_and_plan(spark):
+    """Gopher-style repetition counters: exact numerators/denominators
+    on crafted docs, zeros for blank/short docs, and a pure-JVM plan
+    (whole-stage codegen, no Python eval anywhere)."""
+    from sprout_spark.functions.text import with_repetition_stats
+    from sprout_spark.plans.explain import formatted_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # dup tokens + one dup 2-gram
+            (2, "x x x x"),     # heavy repetition
+            (3, "   "),         # blank -> all zeros
+            (4, "solo"),        # single token: no 2/3-grams
+            (5, "p q r p q r"), # repeated phrase: dup 2- and 3-grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in with_repetition_stats(df, "text").collect()}
+    assert (got[1]["n_tokens"], got[1]["n_dup_tokens"]) == (5, 2)
+    assert (got[1]["n_2grams"], got[1]["n_dup_2grams"]) == (4, 1)
+    assert (got[2]["n_2grams"], got[2]["n_dup_2grams"]) == (3, 2)
+    assert (got[2]["n_3grams"], got[2]["n_dup_3grams"]) == (2, 1)
+    assert all(got[3][c] == 0 for c in
+               ["n_tokens", "n_dup_tokens", "n_2grams", "n_dup_2grams",
+                "n_3grams", "n_dup_3grams"])
+    assert (got[4]["n_tokens"], got[4]["n_2grams"], got[4]["n_3grams"]) == (1, 0, 0)
+    assert (got[5]["n_dup_2grams"], got[5]["n_dup_3grams"]) == (2, 1)
+    plan = formatted_plan(with_repetition_stats(df, "text"))
+    assert "EvalPython" not in plan  # pure JVM, codegen-able
