@@ -645,6 +645,33 @@ def q_fingerprint_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pipeline every training-data run
+    needs before shipping: a deterministic eval slice (doc_id % 17 == 0)
+    plays the benchmark; training docs sharing ANY winnowing fingerprint
+    with it are flagged. A Bloom over the benchmark's fingerprints
+    prunes the training side (the reference's lookup-elision pattern at
+    decontamination scale: misses — almost every fingerprint — never
+    reach the join); the exact semi-join confirms, so the flag set is
+    EXACT. At 100 TB the bloom is a few MB broadcast vs a shuffle of
+    every training fingerprint."""
+    from sprout_spark.functions.text import document_fingerprints_portable
+    from sprout_spark.spark.probe import bloom_semi_join
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bfp = document_fingerprints_portable(bench, "doc_id", "text")
+    tfp = document_fingerprints_portable(train, "doc_id", "text")
+    n = bfp.count()
+    bloom = build_sketch(bfp, "fp", lambda: BloomFilter(n + 10, 0.001))
+    flagged = bloom_semi_join(
+        spark, tfp, "fp",
+        bfp.select(F.col("fp").alias("bfp")), "bfp", bloom,
+    )
+    return flagged.select(F.col("id").alias("doc_id")).distinct()
+
+
 def q_media_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only multimodal aggregation: per-kind counts + pixel
     totals never touch the payload column (Catalyst prunes the blob —
@@ -989,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": q_repetition_stats_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_shared": q_fingerprint_shared,
+        "decontaminate_docs": q_decontaminate_docs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -1265,6 +1293,21 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         "simhash_dup_pairs": _simhash_oracle_sql(3),
         "lang_id_documents": _lang_id_oracle_sql(2),
         "fingerprint_shared": _fingerprint_oracle_sql(8, 4),
+        "decontaminate_docs": """
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest([('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT
+                 for i in range(1, length(text) - 6)]) AS fp
+  FROM documents WHERE length(text) >= 8
+),
+ranked AS (
+  SELECT id, fp, row_number() OVER (PARTITION BY id ORDER BY fp) AS rn FROM g
+),
+fps AS (SELECT DISTINCT id, fp FROM ranked WHERE rn <= 4)
+SELECT DISTINCT id AS doc_id FROM fps
+WHERE id % 17 != 0
+  AND fp IN (SELECT fp FROM fps WHERE id % 17 = 0)
+""",
         "repetition_stats_documents": """
 WITH toks AS (
   SELECT doc_id,
