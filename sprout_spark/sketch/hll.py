@@ -136,6 +136,28 @@ class HyperLogLog(MergeableSketch):
     def relative_error(self) -> float:
         return 1.04 / math.sqrt(self.m)
 
+    def union_estimate(self, other: "HyperLogLog") -> float:
+        """|A ∪ B| without mutating either operand (merge() is the
+        in-place form). Exactly the merged sketch's estimate — union is
+        HLL's native operation, same ±1.04/√m error as a direct build."""
+        tmp = HyperLogLog(self.p, self.seed)
+        np.maximum(self.registers, other.registers, out=tmp.registers)
+        return tmp.estimate()
+
+    def intersection_estimate(self, other: "HyperLogLog") -> float:
+        """|A ∩ B| by inclusion–exclusion: est(A) + est(B) − est(A∪B),
+        floored at 0. CAVEAT (standard for HLL): the absolute error is
+        driven by the LARGER of the sets (each term carries ±1.04/√m of
+        its own magnitude), so small intersections of large sets drown
+        in noise — relative error ≈ 1.04/√m · |A∪B|/|A∩B|. For reliable
+        small-overlap estimates use :class:`~sprout_spark.sketch.bottomk
+        .BottomKSample` (KMV sketches support direct resemblance
+        estimation) or an exact semi-join on the candidate slice."""
+        return max(
+            0.0,
+            self.estimate() + other.estimate() - self.union_estimate(other),
+        )
+
     def stats(self) -> dict:
         return {
             "type": self.TYPE,

@@ -549,3 +549,27 @@ def test_grouped_bloom_dense_payload_warns(spark):
             df, "key", "val", lambda: BloomFilter(100_000_000, 0.001), salt=1
         )
         assert any("PER KEY" in str(x.message) for x in w)
+
+
+def test_hll_union_and_intersection_estimates():
+    """Union is native (merged-register estimate, non-mutating);
+    intersection by inclusion-exclusion tracks the true overlap for
+    comparable-sized sets and never goes negative."""
+    from sprout_spark.sketch import HyperLogLog
+
+    a, b = HyperLogLog(p=14), HyperLogLog(p=14)
+    a.update_values([f"a{i}" for i in range(20000)] +
+                    [f"s{i}" for i in range(5000)])
+    b.update_values([f"b{i}" for i in range(20000)] +
+                    [f"s{i}" for i in range(5000)])
+    a_regs = a.registers.copy()
+    u = a.union_estimate(b)
+    assert (a.registers == a_regs).all()  # non-mutating
+    assert abs(u - 45000) / 45000 <= 3 * 1.04 / (1 << 7)
+    i = a.intersection_estimate(b)
+    # error scale is the UNION's magnitude; allow 3 sigma of 45k
+    assert abs(i - 5000) <= 3 * 1.04 / (1 << 7) * 45000
+    # disjoint sets: floored at zero-ish, never negative
+    c = HyperLogLog(p=14)
+    c.update_values([f"c{i}" for i in range(1000)])
+    assert a.intersection_estimate(c) >= 0.0
