@@ -325,6 +325,55 @@ def q_cms_weighted_qty_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-time join-cardinality estimation from sketches: CMS inner
+    product of the lineitem.l_orderkey and orders.o_orderkey frequency
+    vectors estimates the equi-join size WITHOUT executing the join —
+    never under the true size, over by <= eps*Na*Nb (Cormode &
+    Muthukrishnan 2005 S4.2). Returns the exact join size plus the
+    bound verdict."""
+    from sprout_spark.sketch import CountMinSketch
+    from sprout_spark.spark.aggregate import build_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    ca = build_sketch(li, "l_orderkey", lambda: CountMinSketch(0.0002, 0.01))
+    cb = build_sketch(orders, "o_orderkey", lambda: CountMinSketch(0.0002, 0.01))
+    est = ca.inner_product(cb)
+    true = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "inner"
+    ).count()
+    ok = true <= est <= true + ca.eps * ca.total * cb.total
+    return spark.createDataFrame(
+        [(int(true), bool(ok))], "join_size bigint, ok boolean"
+    )
+
+
+def q_bottomk_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV coordinated-sample Jaccard between two key COLUMNS (events
+    user_ids vs orders custkeys) — the direct overlap-ratio estimator
+    (HLL inclusion-exclusion drowns small overlaps; bottom-k does not).
+    Returns the exact intersection/union sizes plus the error-bound
+    verdict for the sketch estimate."""
+    from sprout_spark.sketch import BottomKSample
+    from sprout_spark.spark.aggregate import build_sketch
+
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    a = build_sketch(events, "user_id", lambda: BottomKSample(k=1024))
+    b = build_sketch(orders, "o_custkey", lambda: BottomKSample(k=1024))
+    got = a.resemblance(b)
+    ua = events.select(F.col("user_id").cast("long").alias("k")).distinct()
+    ub = orders.select(F.col("o_custkey").cast("long").alias("k")).distinct()
+    n_inter = ua.join(ub, "k", "left_semi").count()
+    n_union = ua.unionByName(ub).distinct().count()
+    ok = abs(got - n_inter / n_union) <= 4 / math.sqrt(1024)
+    return spark.createDataFrame(
+        [(int(n_inter), int(n_union), bool(ok))],
+        "n_inter bigint, n_union bigint, ok boolean",
+    )
+
+
 def q_cms_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters (>5% of stream), candidate-free: ONE scan builds a
     Misra-Gries summary (enumerates a guaranteed superset of the heavy
@@ -998,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_bounds": q_cms_event_type_bounds,
         "cms_weighted_qty_bounds": q_cms_weighted_qty_bounds,
+        "cms_join_size_estimate": q_cms_join_size_estimate,
+        "bottomk_resemblance": q_bottomk_resemblance,
         "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
         "mg_heavy_hitter_tools": q_mg_heavy_hitter_tools,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
@@ -1236,6 +1287,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_type_bounds": (
             "SELECT event_type, count(*) AS cnt, true AS ok "
             "FROM events GROUP BY event_type"
+        ),
+        "cms_join_size_estimate": (
+            "SELECT count(*) AS join_size, true AS ok FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "bottomk_resemblance": (
+            "SELECT (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) "
+            "WHERE user_id IN (SELECT o_custkey FROM orders)) AS n_inter, "
+            "(SELECT count(*) FROM (SELECT user_id AS k FROM events UNION "
+            "SELECT o_custkey AS k FROM orders)) AS n_union, true AS ok"
         ),
         "cms_weighted_qty_bounds": (
             "SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)"

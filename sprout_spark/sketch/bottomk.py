@@ -104,6 +104,27 @@ class BottomKSample(MergeableSketch):
     def relative_error(self) -> float:
         return 1.0 / np.sqrt(max(self.k - 2, 1))
 
+    def resemblance(self, other: "BottomKSample") -> float:
+        """Jaccard |A∩B| / |A∪B| estimate (Bar-Yossef et al. 2002 /
+        Beyer et al. 2007 KMV coordination): take the k smallest hashes
+        of the UNION (hashes are a shared seeded function of the key, so
+        the two sketches are coordinated samples) and count the fraction
+        present in BOTH sketches. Unlike HLL's inclusion–exclusion
+        (error scales with the union's magnitude), this estimates the
+        RATIO directly with ±O(1/√k) error — the right tool for
+        small-overlap questions like 'what fraction of this crawl
+        duplicates the last one'. Exact when the union retains fewer
+        than k distinct keys."""
+        if other.k != self.k or other.seed != self.seed:
+            raise ValueError("cannot compare sketches with different k/seed")
+        union = np.union1d(self.hashes, other.hashes)  # sorted unique
+        take = min(self.k, len(union))
+        if take == 0:
+            return 0.0
+        x = union[:take]
+        both = np.isin(x, self.hashes) & np.isin(x, other.hashes)
+        return float(both.sum()) / take
+
     def stats(self) -> dict:
         return {
             "type": self.TYPE,

@@ -122,6 +122,24 @@ class CountMinSketch(MergeableSketch):
         """Additive over-count bound eps*N holding w.p. 1-delta."""
         return self.eps * self.total
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate Σ_k f_A(k)·f_B(k) (Cormode
+        & Muthukrishnan 2005 §4.2): per hash row, the dot product of the
+        two counter rows over-counts the true inner product only by
+        non-negative collision cross-terms, so ``min`` over rows NEVER
+        under-estimates and exceeds the truth by at most ε·N_A·N_B with
+        probability 1−δ. The equi-join size of two key columns is
+        exactly this inner product over their frequency vectors — a
+        plan-time cardinality estimate from two already-built sketches,
+        no join executed."""
+        if (
+            self.w != other.w
+            or self.d != other.d
+            or self.hash_mode != other.hash_mode
+        ):
+            raise ValueError("cannot combine CMS with different geometry")
+        return int((self.counts * other.counts).sum(axis=1).min())
+
     def heavy_hitters(self, candidates, threshold: float) -> list[tuple]:
         """Candidates whose estimated count >= threshold * N."""
         candidates = list(candidates)  # a generator must not be consumed

@@ -573,3 +573,53 @@ def test_hll_union_and_intersection_estimates():
     c = HyperLogLog(p=14)
     c.update_values([f"c{i}" for i in range(1000)])
     assert a.intersection_estimate(c) >= 0.0
+
+
+def test_cms_inner_product_join_size():
+    """CMS inner product: never under the true join size, over by at
+    most eps*Na*Nb, and exact-ish at modest load."""
+    from collections import Counter
+
+    from sprout_spark.sketch import CountMinSketch
+
+    rng = np.random.RandomState(3)
+    a_keys = [f"k{rng.randint(0, 500)}" for _ in range(20000)]
+    b_keys = [f"k{rng.randint(0, 800)}" for _ in range(15000)]
+    fa, fb = Counter(a_keys), Counter(b_keys)
+    true = sum(fa[k] * fb[k] for k in fa)
+    ca = CountMinSketch(eps=0.0005, delta=0.01)
+    cb = CountMinSketch(eps=0.0005, delta=0.01)
+    ca.update_values(a_keys)
+    cb.update_values(b_keys)
+    est = ca.inner_product(cb)
+    assert est >= true
+    assert est <= true + ca.eps * ca.total * cb.total
+    # geometry mismatch fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="geometry"):
+        ca.inner_product(CountMinSketch(eps=0.01, delta=0.01))
+
+
+def test_bottomk_resemblance():
+    """KMV coordinated-sample Jaccard: direct ratio estimate within
+    O(1/sqrt(k)); exact below k; merge-built sketches agree."""
+    from sprout_spark.sketch import BottomKSample
+
+    a, b = BottomKSample(k=512), BottomKSample(k=512)
+    shared = [f"s{i}" for i in range(3000)]
+    a.update_values(shared + [f"a{i}" for i in range(3000)])
+    b.update_values(shared + [f"b{i}" for i in range(3000)])
+    true_j = 3000 / 9000
+    got = a.resemblance(b)
+    assert abs(got - true_j) <= 4 / np.sqrt(512)
+    assert got == b.resemblance(a)  # symmetric
+    # exact when union below k
+    small_a, small_b = BottomKSample(k=512), BottomKSample(k=512)
+    small_a.update_values(["x", "y", "z"])
+    small_b.update_values(["y", "z", "w"])
+    assert small_a.resemblance(small_b) == 2 / 4
+    # disjoint
+    c = BottomKSample(k=512)
+    c.update_values([f"c{i}" for i in range(100)])
+    assert small_a.resemblance(c) == 0.0
