@@ -609,6 +609,21 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
 
 
+def q_minhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram SHINGLED MinHash-LSH near-dup pairs at tau=0.8 —
+    the order-sensitive construction natural-text dedup uses (token-set
+    Jaccard calls a scrambled doc identical; shingles do not). Both the
+    signature kernel and the exact verify run on the shingle sets;
+    equality with the exact all-pairs shingle Jaccard proves the
+    shingled banding loses nothing."""
+    from sprout_spark.operators.dedup import near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_bucket=None, shingle_k=3
+    ).select("a", "b")
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters from the MinHash-LSH pairs: connected
     components by min-label propagation — the keep/drop decision step.
@@ -1060,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_tdigest_value_median": q_grouped_tdigest_value_median,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+        "minhash_shingle_pairs": q_minhash_shingle_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -1336,6 +1352,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY text"
         ),
         "minhash_near_dup_pairs": _JACCARD_PAIRS_SQL,
+        "minhash_shingle_pairs": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+  FROM documents WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE [] END)) AS g
+  FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b
+FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+""",
         "near_dup_clusters": f"""
 WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
 edges AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),

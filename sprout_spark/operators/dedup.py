@@ -69,20 +69,61 @@ def _tokenize_batch(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return h, offsets
 
 
+def _shingle_hashes(
+    h: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Combine each row's runs of ``k`` consecutive token hashes into
+    shingle hashes (vectorized polynomial combine in uint64 — order
+    matters, so 'a b c' and 'c b a' shingle differently). Rows with
+    fewer than ``k`` tokens yield no shingles; returns the same
+    (flat_hashes, row_offsets) contract as :func:`_tokenize_batch`."""
+    counts = np.diff(offsets)
+    out_counts = np.maximum(counts - (k - 1), 0)
+    out_offsets = np.concatenate([[0], np.cumsum(out_counts)]).astype(np.int64)
+    total = int(out_offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), out_offsets
+    # window start positions, per row: offsets[row] .. offsets[row]+cnt-k
+    row_id = np.repeat(np.arange(len(counts), dtype=np.int64), out_counts)
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        out_offsets[:-1], out_counts
+    )
+    start = offsets[:-1][row_id] + local
+    g = np.zeros(total, dtype=np.uint64)
+    mul = _U64_SHINGLE_MULT
+    for j in range(k):
+        g = g * mul + h[start + j]
+    return g, out_offsets
+
+
+_U64_SHINGLE_MULT = np.uint64(0x100000001B3)  # FNV-style odd multiplier
+
+
 def minhash_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 128,
     band_r: int = 4,
+    shingle_k: int = 1,
 ) -> DataFrame:
-    """One ``mapInArrow`` pass: text → tokens → minhash signature → band
-    hashes. Output: (id bigint, band int, bh bigint) — one row per band.
+    """One ``mapInArrow`` pass: text → tokens → (optional word-k-gram
+    shingles) → minhash signature → band hashes. Output: (id bigint,
+    band int, bh bigint) — one row per band.
+
+    ``shingle_k > 1`` minhashes the set of k-token SHINGLES instead of
+    the token set — the standard near-dup construction for natural text
+    (token-set Jaccard ignores word order and length; shingle Jaccard
+    does not). Docs with fewer than ``shingle_k`` tokens drop (no
+    shingles → never a candidate), consistent with the zero-token
+    policy below.
     """
     if n_hashes > _MAX_HASHES:
         raise ValueError(f"n_hashes must be <= {_MAX_HASHES}")
     if n_hashes % band_r:
         raise ValueError("band_r must divide n_hashes")
+    if shingle_k < 1:
+        raise ValueError("shingle_k must be >= 1")
     n_bands = n_hashes // band_r
 
     def fn(batches):
@@ -92,6 +133,8 @@ def minhash_band_rows(
             if len(ids) == 0:
                 continue
             h, offsets = _tokenize_batch(arr)
+            if shingle_k > 1:
+                h, offsets = _shingle_hashes(h, offsets, shingle_k)
             nonempty = np.diff(offsets) > 0
             if not nonempty.any():
                 continue
@@ -271,6 +314,26 @@ def token_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, tokens array<string>) with DISTINCT word-k-gram shingles,
+    pure JVM (``transform(sequence)`` windows joined by single spaces) —
+    the exact-verify companion to ``minhash_band_rows(shingle_k=k)``.
+    Docs with fewer than k tokens get an empty array."""
+    t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.when(F.length(t) == 0, F.array()).otherwise(F.split(t, r"\s+"))
+    n = F.size(toks)
+    grams = F.when(n < k, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.array_distinct(grams).alias("tokens"),
+    )
+
+
 def verify_jaccard(
     candidates: DataFrame, tokens: DataFrame, threshold: float
 ) -> DataFrame:
@@ -302,6 +365,7 @@ def near_dup_pairs(
     band_r: int = 4,
     max_bucket: int | None = 4096,
     oversize_mode: str = "star",
+    shingle_k: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-verified: (a, b, jaccard).
 
@@ -309,27 +373,42 @@ def near_dup_pairs(
     1-(1-0.8^4)^32 ≈ 1-5e-8; verification makes surviving pairs exact.
     ``max_bucket``/``oversize_mode`` forward to the hot-bucket guard in
     ``lsh_candidate_pairs`` (boilerplate buckets emit star pairs, not
-    quadratic all-pairs).
+    quadratic all-pairs). ``shingle_k > 1`` switches BOTH the signature
+    and the exact verify to word-k-gram shingle sets — the standard
+    construction for natural text, where token-set Jaccard ignores word
+    order and repetition.
     """
     # strip ALL whitespace (trim only covers ASCII spaces — tab/newline-only
     # docs must not slip through)
     nonempty = df.where(
         F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
     )
-    bands = minhash_band_rows(nonempty, id_col, text_col, n_hashes, band_r)
+    bands = minhash_band_rows(
+        nonempty, id_col, text_col, n_hashes, band_r, shingle_k
+    )
     cands = lsh_candidate_pairs(
         bands, max_bucket, oversize_mode, n_bands=n_hashes // band_r
     )
-    toks = token_sets(nonempty, id_col, text_col)
+    toks = (
+        token_sets(nonempty, id_col, text_col)
+        if shingle_k == 1
+        else shingle_sets(nonempty, id_col, text_col, shingle_k)
+    )
     return verify_jaccard(cands, toks, threshold)
 
 
 def exact_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame, id_col: str, text_col: str, threshold: float,
+    shingle_k: int = 1,
 ) -> DataFrame:
-    """Exact all-pairs token Jaccard via inverted-index join (oracle for
-    the LSH path; O(sum of posting-list^2) — small data only)."""
-    toks = token_sets(df, id_col, text_col).where(F.size("tokens") > 0)
+    """Exact all-pairs token (or k-shingle) Jaccard via inverted-index
+    join (oracle for the LSH path; O(sum of posting-list^2) — small
+    data only)."""
+    toks = (
+        token_sets(df, id_col, text_col)
+        if shingle_k == 1
+        else shingle_sets(df, id_col, text_col, shingle_k)
+    ).where(F.size("tokens") > 0)
     posting = toks.select("id", F.explode("tokens").alias("tok"))
     a = posting.alias("a")
     b = posting.alias("b")

@@ -1002,3 +1002,47 @@ def test_repetition_stats_counts_and_plan(spark):
     assert (got[5]["n_dup_2grams"], got[5]["n_dup_3grams"]) == (2, 1)
     plan = formatted_plan(with_repetition_stats(df, "text"))
     assert "EvalPython" not in plan  # pure JVM, codegen-able
+
+
+def test_shingled_minhash_matches_exact_shingle_jaccard(spark, docs):
+    """shingle_k=3: LSH+verify over word-3-gram shingles equals the
+    exact all-pairs shingle Jaccard, and shingling distinguishes
+    word-order scrambles that token-set Jaccard calls identical."""
+    from sprout_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        near_dup_pairs,
+        shingle_sets,
+    )
+
+    got = {
+        (r["a"], r["b"])
+        for r in near_dup_pairs(docs, "doc_id", "text", threshold=0.7,
+                                shingle_k=3).collect()
+    }
+    want = {
+        (r["a"], r["b"])
+        for r in exact_jaccard_pairs(docs, "doc_id", "text", 0.7,
+                                     shingle_k=3).collect()
+    }
+    assert got == want
+    # exact dups still match at shingle level
+    assert {(10, 300), (11, 301), (12, 302)} <= got
+
+    # order sensitivity: same token SET, scrambled order
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    scr = " ".join(reversed(base.split()))
+    pair_df = spark.createDataFrame(
+        [(1, base), (2, scr)], "doc_id bigint, text string"
+    )
+    tok_pairs = near_dup_pairs(pair_df, "doc_id", "text", threshold=0.99)
+    assert {(r["a"], r["b"]) for r in tok_pairs.collect()} == {(1, 2)}
+    sh_pairs = near_dup_pairs(pair_df, "doc_id", "text", threshold=0.5,
+                              shingle_k=3)
+    assert sh_pairs.collect() == []  # no shared 3-gram at all
+
+    # shingle_sets shape: short docs -> empty, windows joined by spaces
+    ss = {r["id"]: sorted(r["tokens"]) for r in
+          shingle_sets(spark.createDataFrame(
+              [(1, "a b c d"), (2, "a b")], "doc_id bigint, text string"),
+              "doc_id", "text", 3).collect()}
+    assert ss[1] == ["a b c", "b c d"] and ss[2] == []
