@@ -177,6 +177,27 @@ def grouped_stream_sketches(
     )
 
 
+_INTERVAL_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _interval_ms(spec: str) -> int:
+    """Parse the simple '<n> <unit>[s]' interval form Spark windows use."""
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"expected '<n> <unit>' interval, got {spec!r}")
+    n, unit = parts
+    unit = unit.rstrip("s").lower()
+    if unit not in _INTERVAL_UNITS_MS:
+        raise ValueError(f"unsupported interval unit in {spec!r}")
+    return int(n) * _INTERVAL_UNITS_MS[unit]
+
+
 def windowed_stream_sketches(
     stream_df: DataFrame,
     ts_col: str,
@@ -188,25 +209,96 @@ def windowed_stream_sketches(
 ) -> DataFrame:
     """Event-time WINDOWED sketch aggregation with a watermark — the
     late-data streaming shape (north star: "watermarks + windowed aggs
-    for late data"). Emits (key = window start, estimate, rows) per
-    updated window each micro-batch.
+    for late data"). Emits (key = window start, estimate, rows, final)
+    per updated window each micro-batch; ``final=true`` marks the
+    eviction emission after the watermark passes the window's
+    end + delay (the window can no longer change).
 
-    Built by composition: ``withWatermark`` bounds state retention and
-    admits late rows up to ``watermark_delay``; the tumbling
-    ``F.window`` start becomes the group key of
-    :func:`grouped_stream_sketches`, so each window holds one running
-    mergeable sketch as its state value. Mergeability is what makes
-    late data EXACTLY safe here: a late row within the watermark folds
-    into its window's sketch and yields the identical registers the
-    batch build over the complete window would — order-independence is
-    a sketch property, not a best-effort. At 10^12-turn scale the state
-    per window is one sketch payload (not the window's rows), and
-    windows older than the watermark are dropped by Spark's own state
-    eviction."""
+    Each tumbling window holds ONE running mergeable sketch as its
+    ``applyInPandasWithState`` state value — sketch-sized, never the
+    window's rows. Mergeability is what makes late data EXACTLY safe:
+    a late row within the watermark folds into its window's sketch and
+    yields the identical registers the batch build over the complete
+    window would (order independence is a sketch property). State
+    eviction is explicit: every update arms an EventTimeTimeout at
+    ``window_end + watermark_delay``; when the watermark crosses it the
+    window emits its final row and its state is REMOVED — bounded state
+    on unbounded streams, which ``GroupStateTimeout.NoTimeout`` (the
+    per-key operator's default) would not give. As with any event-time
+    timeout, the final emission fires on the next micro-batch after the
+    watermark advances — a stream that simply stops leaves its last
+    windows un-finalized (their update rows are still exact)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sketch.base import sketch_from_bytes as _revive
+
+    delay_ms = _interval_ms(watermark_delay)
+    out_schema = "key string, estimate double, rows bigint, final boolean"
+    state_schema = "sketch binary, rows bigint"
+
+    def fn(key, pdf_iter, state: GroupState):
+        from ..spark.aggregate import _update_sketch_from_pandas
+
+        wstart, wend_ms = key
+        if state.hasTimedOut:
+            sk_bytes, rows = state.get
+            sk = _revive(bytes(sk_bytes))
+            state.remove()  # eviction: bounded state on unbounded streams
+            yield pd.DataFrame(
+                {
+                    "key": [wstart],
+                    "estimate": [float(estimator(sk))],
+                    "rows": [rows],
+                    "final": [True],
+                }
+            )
+            return
+        # rows for a window whose end + delay is already behind the
+        # watermark arrived TOO LATE: the window was (or will never be)
+        # finalized, and Spark does NOT pre-filter late rows for custom
+        # stateful operators — discarding here mirrors the built-in
+        # windowed-aggregation semantics (and the timeout we would arm
+        # is in the past, which Spark rejects)
+        if int(wend_ms) + delay_ms <= state.getCurrentWatermarkMs():
+            return
+        if state.exists:
+            sk_bytes, rows = state.get
+            sk = _revive(bytes(sk_bytes))
+        else:
+            sk, rows = factory(), 0
+        for pdf in pdf_iter:
+            vals = pdf[val_col]
+            rows += len(vals)
+            _update_sketch_from_pandas(sk, vals)
+        state.update((bytearray(sk.to_bytes()), rows))
+        state.setTimeoutTimestamp(int(wend_ms) + delay_ms)
+        yield pd.DataFrame(
+            {
+                "key": [wstart],
+                "estimate": [float(estimator(sk))],
+                "rows": [rows],
+                "final": [False],
+            }
+        )
+
     windowed = stream_df.withWatermark(ts_col, watermark_delay).select(
-        F.window(F.col(ts_col), window_duration)["start"]
-        .cast("string")
-        .alias("wstart"),
+        F.window(F.col(ts_col), window_duration).alias("w"),
         F.col(val_col),
+        # the watermarked event-time column must survive into the state
+        # operator's child plan (the analyzer rejects EventTimeTimeout
+        # otherwise: string/long casts of the window drop the tag)
+        F.col(ts_col).alias("_wm_ts"),
     )
-    return grouped_stream_sketches(windowed, "wstart", val_col, factory, estimator)
+    grouped = windowed.select(
+        F.col("w")["start"].cast("string").alias("wstart"),
+        (F.col("w")["end"].cast("double") * 1000).cast("long").alias("wend_ms"),
+        F.col(val_col),
+        "_wm_ts",
+    ).groupBy("wstart", "wend_ms")
+    return grouped.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

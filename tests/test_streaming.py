@@ -430,6 +430,9 @@ def test_windowed_stream_sketches_match_batch_windows(
         .option("maxFilesPerTrigger", "2")
         .parquet(stream_dir)
     )
+    # generous lateness bound: files replay in arbitrary order, and this
+    # test checks exact window ASSIGNMENT (no row discarded, every row in
+    # exactly one window); the eviction/too-late path has its own test
     out = windowed_stream_sketches(
         stream,
         "ts",
@@ -437,7 +440,7 @@ def test_windowed_stream_sketches_match_batch_windows(
         lambda: HyperLogLog(p=12),
         lambda s: s.estimate(),
         window_duration="1 hour",
-        watermark_delay="10 minutes",
+        watermark_delay="90 days",
     )
     q = (
         out.writeStream.format("memory")
@@ -530,3 +533,62 @@ def test_windowed_stream_sketches_fold_late_data(spark, tmp_path):
     assert n == len(on_time) + 1  # the late row folded in
     exact = allrows.select("k").distinct().count()
     assert abs(est - exact) / exact <= 0.2
+
+
+def test_windowed_stream_sketches_evict_after_watermark(spark, tmp_path):
+    """Bounded state on unbounded streams: once the watermark passes a
+    window's end + delay, the window emits a final row and its state is
+    evicted (EventTimeTimeout) — the un-finalized last window proves
+    finality comes from the watermark, not stream end."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.streaming.accumulate import windowed_stream_sketches
+
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("k", StringType())]
+    )
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    early = [(t0 + dt.timedelta(minutes=m), f"e{m}") for m in (0, 10, 20)]
+    late_batch = [(dt.datetime(2026, 1, 1, 13, 0, 0), "x")]
+    src = str(tmp_path / "evsrc")
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(late_batch, schema).coalesce(1).write.parquet(
+        src + "/f2"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = windowed_stream_sketches(
+        stream, "ts", "k",
+        lambda: HyperLogLog(p=10), lambda s: s.estimate(),
+        window_duration="1 hour", watermark_delay="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evwin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "evckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM evwin").collect()
+    w10 = [r for r in rows if r["key"] == str(t0)]
+    w13 = [r for r in rows if r["key"] == "2026-01-01 13:00:00"]
+    # the 10:00 window was finalized by the 13:00 batch's watermark
+    finals = [r for r in w10 if r["final"]]
+    assert len(finals) == 1
+    assert finals[0]["rows"] == 3
+    assert abs(finals[0]["estimate"] - 3) <= 0.5
+    # the last window never finalizes (stream just ends) — update only
+    assert w13 and all(not r["final"] for r in w13)
