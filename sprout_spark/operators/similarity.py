@@ -11,8 +11,8 @@
   ``mapInArrow`` pass); the query probes only its buckets and re-ranks
   candidates exactly. Recall is tunable via (n_planes, n_tables); the
   tests measure it against brute force.
-* :func:`cosine_self_join_topk` — embedding near-duplicate candidates via
-  shared SRP buckets, exact-verified, for embedding-cosine near-dup
+* :func:`embedding_near_dup_pairs` — embedding near-duplicate candidates
+  via shared SRP buckets, exact-verified, for embedding-cosine near-dup
   detection in dedup pipelines.
 * :func:`train_ivf_centroids` / :func:`build_ivf_index` /
   :func:`ann_ivf_topk` — the IVF scale path: a sample-trained k-means
