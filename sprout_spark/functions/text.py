@@ -231,20 +231,33 @@ def with_repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     codegen, no Python, no shuffle; blank/whitespace-only docs get all
     zeros. Tokenization matches :func:`ws_token_count` (regex trim +
     ``\\s+`` split), so the counters compose with `with_text_stats`."""
+    out_names = [
+        "n_tokens", "n_dup_tokens", "n_2grams", "n_dup_2grams",
+        "n_3grams", "n_dup_3grams",
+    ]
+    clash = [c for c in out_names if c in df.columns]
+    if clash:
+        # the stat names ARE the API — silently replacing a user column
+        # of the same name would corrupt their data (same class of bug
+        # as the stratified_sample temp-column collision)
+        raise ValueError(f"input already has column(s) {clash}; rename first")
+    tmp = "_toks"
+    while tmp in df.columns:  # collision-free temp name
+        tmp += "_"
     t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     toks = F.when(F.length(t) == 0, F.array()).otherwise(F.split(t, r"\s+"))
-    out = df.withColumn("_toks", toks)
-    n = F.size(F.col("_toks"))
+    out = df.withColumn(tmp, toks)
+    n = F.size(F.col(tmp))
 
     def gram_counts(k: int, prefix: str):
         if k == 1:
-            grams = F.col("_toks")
+            grams = F.col(tmp)
         else:
             # window i..i+k-1 joined by a single space: slice is 1-based
             grams = F.when(n < k, F.array()).otherwise(
                 F.transform(
                     F.sequence(F.lit(1), n - (k - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, k)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col(tmp), i, k)),
                 )
             )
         total = F.size(grams)
@@ -259,4 +272,4 @@ def with_repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
     for name, c in cols:
         out = out.withColumn(name, c)
-    return out.drop("_toks")
+    return out.drop(tmp)

@@ -256,7 +256,10 @@ def lsh_candidate_pairs(
         pairs = pairs.union(star)
     elif oversize_mode == "split":
         if n_bands is None:
-            n_bands = band_rows.agg(F.max("band")).collect()[0][0] + 1
+            mx = band_rows.agg(F.max("band")).collect()[0][0]
+            if mx is None:  # empty band_rows: nothing oversized to split
+                return pairs.distinct()
+            n_bands = mx + 1
         over = sized.where(F.col("_n") > max_bucket).select("id", "band", "bh")
         lane = band_rows.select(
             "id", F.col("band").alias("_ab"), F.col("bh").alias("_sub")

@@ -464,6 +464,12 @@ def ann_ivf_topk_batch(
         F.col(q_id_col).cast("bigint").alias("qid"),
         F.col(q_vec_col).alias("v"),
     ).mapInArrow(assign, f"qid bigint, qvec array<{elem}>, cell int")
+    # persist: the probed-cells collect below would otherwise run the
+    # whole assignment kernel a second time when the join re-evaluates
+    # probes (mapInArrow is opaque to Catalyst — no partial reuse). The
+    # cache is n_queries x nprobe rows and Spark's LRU evicts it under
+    # pressure once the query's lifetime ends.
+    probes.persist()
     # union of probed cells: bounded by n_cells rows, lets the index scan
     # prune at the directory level before any join
     hit = [r["cell"] for r in probes.select("cell").distinct().collect()]

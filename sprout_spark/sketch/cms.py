@@ -138,7 +138,17 @@ class CountMinSketch(MergeableSketch):
             or self.hash_mode != other.hash_mode
         ):
             raise ValueError("cannot combine CMS with different geometry")
-        return int((self.counts * other.counts).sum(axis=1).min())
+        # exact python-int arithmetic over the nonzero cells: an int64 dot
+        # product wraps at ~1e19 (two 1e10-weight hot cells), silently
+        # breaking the never-under-estimates lower bound; nnz-sized object
+        # math is driver-side and cheap relative to any build
+        best = None
+        for j in range(self.d):
+            a, b = self.counts[j], other.counts[j]
+            nz = np.flatnonzero((a != 0) & (b != 0))
+            dot = sum(int(a[i]) * int(b[i]) for i in nz)
+            best = dot if best is None else min(best, dot)
+        return int(best)
 
     def heavy_hitters(self, candidates, threshold: float) -> list[tuple]:
         """Candidates whose estimated count >= threshold * N."""

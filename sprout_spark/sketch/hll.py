@@ -140,6 +140,14 @@ class HyperLogLog(MergeableSketch):
         """|A ∪ B| without mutating either operand (merge() is the
         in-place form). Exactly the merged sketch's estimate — union is
         HLL's native operation, same ±1.04/√m error as a direct build."""
+        if (
+            not isinstance(other, HyperLogLog)
+            or other.p != self.p
+            or other.seed != self.seed
+        ):
+            # same gate as merge(): a seed mismatch would max() registers
+            # fed by different hash functions and return silent garbage
+            raise ValueError("cannot combine HLLs with different geometry")
         tmp = HyperLogLog(self.p, self.seed)
         np.maximum(self.registers, other.registers, out=tmp.registers)
         return tmp.estimate()

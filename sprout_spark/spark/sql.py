@@ -39,7 +39,6 @@ from pyspark.sql.types import BooleanType, DoubleType, LongType
 
 from ..sketch.base import MergeableSketch
 from .probe import (
-    _broadcast_payload,
     _chunked,
     _revive,
     contains_udf,
@@ -120,16 +119,32 @@ class SketchCatalog:
         self.spark = spark
         self.prefix = prefix
         self._sketches: dict[str, MergeableSketch] = {}
+        # one broadcast per entry, owned by the catalog for its lifetime:
+        # serialization happens ONCE per put (not per capability per
+        # rebind), and catalog broadcasts never ride the shared probe LRU
+        # (which could unpersist a payload the registered UDF closures
+        # still reference once a session juggles >16 sketches)
+        self._bcs: dict = {}
         self._rebind()
 
     def put(self, name: str, sketch: MergeableSketch) -> "SketchCatalog":
+        old = self._bcs.get(name)
         self._sketches[name] = sketch
+        self._bcs[name] = self.spark.sparkContext.broadcast(sketch.to_bytes())
         self._rebind()
+        if old is not None:
+            # non-destructive: executors drop their copies; an in-flight
+            # query that still holds the old closure refetches from the
+            # driver (unpersist, not destroy)
+            old.unpersist()
         return self
 
     def drop(self, name: str) -> "SketchCatalog":
         self._sketches.pop(name, None)
+        old = self._bcs.pop(name, None)
         self._rebind()
+        if old is not None:
+            old.unpersist()
         return self
 
     def get(self, name: str) -> MergeableSketch:
@@ -142,17 +157,17 @@ class SketchCatalog:
         # snapshot dicts: executors see exactly the entries live at the
         # last put/drop (closures can't observe later driver-side edits)
         contains_bcs = {
-            n: _broadcast_payload(self.spark, s.to_bytes())
+            n: self._bcs[n]
             for n, s in self._sketches.items()
             if hasattr(s, "contains_arrow")
         }
         estimate_bcs = {
-            n: _broadcast_payload(self.spark, s.to_bytes())
+            n: self._bcs[n]
             for n, s in self._sketches.items()
             if hasattr(s, "estimate_arrow")
         }
         rank_bcs = {
-            n: _broadcast_payload(self.spark, s.to_bytes())
+            n: self._bcs[n]
             for n, s in self._sketches.items()
             if hasattr(s, "cdf") or hasattr(s, "rank")
         }

@@ -80,6 +80,24 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         import json
 
         bpath = os.path.join(self.seen_dir, "buckets.json")
+        if not os.path.exists(bpath) and os.path.isdir(self.seen_dir):
+            # a seen store from before bucketing (flat epoch dirs, no
+            # buckets.json): reading it through the bucketed schema
+            # would give bucket=NULL rows that never match the (bucket,
+            # key) anti-join — every seen key would silently re-admit
+            # as novel. Refuse instead of corrupting.
+            legacy = [
+                d
+                for d in os.listdir(self.seen_dir)
+                if d.startswith(("epoch=", "compact-"))
+            ]
+            if legacy:
+                raise ValueError(
+                    f"seen store at {self.seen_dir!r} uses the legacy "
+                    "un-bucketed layout; rebuild it (or migrate by "
+                    "rewriting each dir partitioned by "
+                    "pmod(xxhash64(key), n_buckets)) before restarting"
+                )
         if os.path.exists(bpath):
             with open(bpath) as f:
                 pinned = int(json.load(f)["n_buckets"])

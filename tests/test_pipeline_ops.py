@@ -1046,3 +1046,28 @@ def test_shingled_minhash_matches_exact_shingle_jaccard(spark, docs):
               [(1, "a b c d"), (2, "a b")], "doc_id bigint, text string"),
               "doc_id", "text", 3).collect()}
     assert ss[1] == ["a b c", "b c d"] and ss[2] == []
+
+
+def test_repetition_stats_rejects_colliding_columns(spark):
+    """review r4: stat output names are API — a same-named input column
+    must raise, not be silently replaced; temp name avoids collisions."""
+    from sprout_spark.functions.text import with_repetition_stats
+
+    bad = spark.createDataFrame([(1, "a b", 9)],
+                                "doc_id bigint, text string, n_tokens int")
+    with pytest.raises(ValueError, match="n_tokens"):
+        with_repetition_stats(bad, "text")
+    ok = spark.createDataFrame([(1, "a b", "keep")],
+                               "doc_id bigint, text string, _toks string")
+    row = with_repetition_stats(ok, "text").collect()[0]
+    assert row["_toks"] == "keep" and row["n_tokens"] == 2
+
+
+def test_lsh_split_mode_empty_band_rows(spark):
+    """review r4: split mode with inferred n_bands must return empty on
+    an empty band table instead of crashing on None + 1."""
+    from sprout_spark.operators.dedup import lsh_candidate_pairs
+
+    empty = spark.createDataFrame([], "id bigint, band int, bh bigint")
+    got = lsh_candidate_pairs(empty, max_bucket=4, oversize_mode="split")
+    assert got.collect() == []

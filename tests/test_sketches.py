@@ -623,3 +623,35 @@ def test_bottomk_resemblance():
     c = BottomKSample(k=512)
     c.update_values([f"c{i}" for i in range(100)])
     assert small_a.resemblance(c) == 0.0
+
+
+def test_hll_set_estimators_reject_geometry_mismatch():
+    """review r4: union/intersection must gate on geometry like merge()
+    — seed-mismatched registers would return silent garbage."""
+    from sprout_spark.sketch import HyperLogLog
+
+    a = HyperLogLog(p=12, seed=1)
+    b = HyperLogLog(p=12, seed=2)
+    a.update_values(["x"]); b.update_values(["x"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="geometry"):
+        a.union_estimate(b)
+    with _pytest.raises(ValueError, match="geometry"):
+        a.intersection_estimate(b)
+    with _pytest.raises(ValueError, match="geometry"):
+        HyperLogLog(p=10).union_estimate(HyperLogLog(p=12))
+
+
+def test_cms_inner_product_no_int64_overflow():
+    """review r4: the dot product must not wrap at 100TB-scale weights —
+    two hot cells at 1e10 each give a 1e20 product, past int64."""
+    from sprout_spark.sketch import CountMinSketch
+
+    a = CountMinSketch(eps=0.01, delta=0.05)
+    b = CountMinSketch(eps=0.01, delta=0.05)
+    a.update_values(["hot"], )
+    b.update_values(["hot"], )
+    a.counts[a.counts > 0] = 10_000_000_000
+    b.counts[b.counts > 0] = 10_000_000_000
+    est = a.inner_product(b)
+    assert est >= 10_000_000_000 ** 2  # exact, not wrapped negative

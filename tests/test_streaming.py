@@ -592,3 +592,24 @@ def test_windowed_stream_sketches_evict_after_watermark(spark, tmp_path):
     assert abs(finals[0]["estimate"] - 3) <= 0.5
     # the last window never finalizes (stream just ends) — update only
     assert w13 and all(not r["final"] for r in w13)
+
+
+def test_novelty_refuses_legacy_unbucketed_store(spark, transcripts_path, tmp_path):
+    """review r4: a pre-bucketing seen store (flat epoch dirs, no
+    buckets.json) must fail loud on restart — reading it through the
+    bucketed schema would re-admit every seen key as novel."""
+    import os
+
+    from sprout_spark.streaming.novelty import StreamingNoveltyFilter
+
+    state = str(tmp_path / "legacy")
+    seen = os.path.join(state, "seen")
+    os.makedirs(seen)
+    batch = spark.read.parquet(transcripts_path)
+    batch.select("conv_id").distinct().write.parquet(
+        os.path.join(seen, "epoch=0")
+    )
+    with pytest.raises(ValueError, match="legacy"):
+        StreamingNoveltyFilter(
+            "conv_id", lambda: BloomFilter(100, 0.01), state
+        )
