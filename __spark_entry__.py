@@ -674,6 +674,19 @@ def q_repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingled SimHash (k=3 word shingles, portable md5 variant):
+    order-sensitive near-dup pairs — votes come from shingle strings,
+    so scrambled word order diverges. All-pairs oracle equality proves
+    the 4-band pigeonhole still has total recall over shingle votes."""
+    from sprout_spark.operators.dedup import simhash_near_dup_pairs_portable
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs_portable(
+        docs, "doc_id", "text", max_hamming=3, max_bucket=None, shingle_k=3
+    ).select("a", "b", "hamming")
+
+
 def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sprout_spark.functions.text import with_text_stats
 
@@ -1082,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "simhash_shingle_pairs": q_simhash_shingle_pairs,
         "text_stats_documents": q_text_stats_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -1119,10 +1133,11 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
 """
 
 
-def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+def _simhash_oracle_sql(max_hamming: int = 3, shingle_k: int = 1) -> str:
     """All-pairs hamming over the portable md5 SimHash — DuckDB mirror of
     simhash_signatures_portable (same tokenization, same md5 halves, same
-    majority-vote bits). Spark's banded result equals this iff the 4-band
+    majority-vote bits; ``shingle_k > 1`` hashes k-token shingle strings
+    with multiplicity). Spark's banded result equals this iff the 4-band
     pigeonhole has total recall at hamming<=3 (it must)."""
     hsums = ", ".join(
         f"sum((hi >> {j}) & 1) AS h{j}, sum((lo >> {j}) & 1) AS l{j}"
@@ -1134,10 +1149,27 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     lsig = " + ".join(
         f"CASE WHEN 2*l{j} > n THEN {1 << j} ELSE 0 END" for j in range(32)
     )
+    if shingle_k == 1:
+        tok_cte = (
+            "SELECT doc_id AS id, "
+            "unnest(string_split_regex(text, '\\s+')) AS tok FROM documents"
+        )
+    else:
+        gram = " || ' ' || ".join(
+            f"t[i+{j}]" if j else "t[i]" for j in range(shingle_k)
+        )
+        tok_cte = (
+            "SELECT id, unnest(CASE WHEN len(t) >= " + str(shingle_k) +
+            " THEN list_transform(range(1, len(t) - " + str(shingle_k - 2) +
+            "), i -> " + gram + ") ELSE [] END) AS tok FROM ("
+            "SELECT doc_id AS id, string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t "
+            "FROM documents "
+            "WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0)"
+        )
     return f"""
 WITH tok AS (
-  SELECT doc_id AS id, unnest(string_split_regex(text, '\\s+')) AS tok
-  FROM documents
+  {tok_cte}
 ),
 h AS (
   SELECT id, ('0x'||substr(md5(tok),1,8))::BIGINT AS hi,
@@ -1393,6 +1425,7 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         # hash both engines share); the murmur kernels remain the
         # throughput path, covered by pytest
         "simhash_dup_pairs": _simhash_oracle_sql(3),
+        "simhash_shingle_pairs": _simhash_oracle_sql(3, shingle_k=3),
         "lang_id_documents": _lang_id_oracle_sql(2),
         "fingerprint_shared": _fingerprint_oracle_sql(8, 4),
         "decontaminate_docs": """

@@ -541,9 +541,14 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 1
+) -> DataFrame:
     """(id, simhash bigint): 64-bit SimHash over whitespace tokens,
-    vectorized (token hash bits vote ±1, sign of the per-bit sum)."""
+    vectorized (token hash bits vote ±1, sign of the per-bit sum).
+    ``shingle_k > 1`` votes over k-token shingle hashes instead
+    (order-sensitive, multiplicity preserved — same combine as the
+    minhash shingle path)."""
 
     def fn(batches):
         shifts = np.arange(64, dtype=np.uint64)
@@ -552,6 +557,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if len(ids) == 0:
                 continue
             h, offsets = _tokenize_batch(batch.column(1))
+            if shingle_k > 1:
+                h, offsets = _shingle_hashes(h, offsets, shingle_k)
             n = len(ids)
             sig = np.zeros(n, dtype=np.uint64)
             counts = np.diff(offsets)
@@ -574,22 +581,41 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_signatures_portable(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 1
 ) -> DataFrame:
     """(id, hi bigint, lo bigint): 64-bit SimHash as two 32-bit halves,
     built ENTIRELY from JVM expressions over ``md5`` — no Python anywhere,
     and bit-for-bit reproducible in any engine with md5 (DuckDB oracle in
     ``__spark_entry__``). Per-token hash = first/second 8 hex chars of
     md5; bit j of a half is 1 iff more than half the tokens (with
-    multiplicity) have that hash bit set (ties -> 0).
+    multiplicity) have that hash bit set (ties -> 0). ``shingle_k > 1``
+    hashes k-token shingle STRINGS ('a b c') instead of single tokens —
+    order-sensitive and still engine-portable.
 
     This is the *portable contract* variant; ``simhash_signatures`` (the
     murmur mapInArrow kernel) is the single-pass throughput path for
     100 TB runs — same banding/verify machinery downstream."""
-    toks = df.select(
-        F.col(id_col).cast("bigint").alias("id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
+    if shingle_k == 1:
+        toks = df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        ).where(F.col("tok") != "")
+    else:
+        t = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+        arr = F.when(F.length(t) == 0, F.array()).otherwise(F.split(t, r"\s+"))
+        n = F.size(arr)
+        grams = F.when(n < shingle_k, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (shingle_k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(arr, i, shingle_k)),
+            )
+        )
+        # explode keeps multiplicity: repeated shingles vote repeatedly,
+        # matching the unigram variant's semantics
+        toks = df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.explode(grams).alias("tok"),
+        )
     hashed = toks.select(
         "id",
         F.expr("cast(conv(substring(md5(tok),1,8),16,10) as bigint)").alias("hi"),
@@ -627,6 +653,7 @@ def simhash_near_dup_pairs_portable(
     max_hamming: int = 3,
     max_bucket: int | None = None,
     oversize_mode: str = "star",
+    shingle_k: int = 1,
 ) -> DataFrame:
     """Near-dup pairs from the portable md5 SimHash: candidates share one
     of four 16-bit bands (pigeonhole => total recall at hamming<=3), then
@@ -639,7 +666,7 @@ def simhash_near_dup_pairs_portable(
     :func:`lsh_candidate_pairs` either way."""
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only up to 3")
-    sigs = simhash_signatures_portable(df, id_col, text_col)
+    sigs = simhash_signatures_portable(df, id_col, text_col, shingle_k)
     mask = F.lit(0xFFFF)
     bands = sigs.select(
         "id",
@@ -680,6 +707,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int | None = 4096,
     oversize_mode: str = "star",
+    shingle_k: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     bands (pigeonhole: any pair within Hamming distance 3 shares at least
@@ -701,7 +729,7 @@ def simhash_near_dup_pairs(
     nonempty = df.where(
         F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
     )
-    sigs = simhash_signatures(nonempty, id_col, text_col)
+    sigs = simhash_signatures(nonempty, id_col, text_col, shingle_k)
     bands = sigs.select(
         "id",
         F.explode(

@@ -1071,3 +1071,37 @@ def test_lsh_split_mode_empty_band_rows(spark):
     empty = spark.createDataFrame([], "id bigint, band int, bh bigint")
     got = lsh_candidate_pairs(empty, max_bucket=4, oversize_mode="split")
     assert got.collect() == []
+
+
+def test_simhash_shingles_are_order_sensitive(spark):
+    """shingle_k on both simhash variants: identical docs still hamming
+    0; a word-order scramble (identical token multiset) produces a
+    DIFFERENT signature at shingle level while the unigram variant
+    (order-blind votes) calls them identical."""
+    from sprout_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_portable,
+        simhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    scr = " ".join(reversed(base.split()))
+    df = spark.createDataFrame(
+        [(1, base), (2, scr), (3, base)], "doc_id bigint, text string"
+    )
+    # unigram: votes are order-blind -> 1~2 identical signatures
+    uni = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(df, "doc_id", "text").collect()}
+    assert uni[(1, 2)] == 0 and uni[(1, 3)] == 0
+    # shingled murmur kernel: scramble diverges, identical copy does not
+    sigs = {r["id"]: r["simhash"] for r in
+            simhash_signatures(df, "doc_id", "text", shingle_k=3).collect()}
+    assert sigs[1] == sigs[3] and sigs[1] != sigs[2]
+    sh = {(r["a"], r["b"]): r["hamming"]
+          for r in simhash_near_dup_pairs(df, "doc_id", "text",
+                                          shingle_k=3).collect()}
+    assert sh[(1, 3)] == 0 and (1, 2) not in sh
+    # portable variant agrees on the discrimination
+    shp = {(r["a"], r["b"]) for r in simhash_near_dup_pairs_portable(
+        df, "doc_id", "text", shingle_k=3).collect()}
+    assert (1, 3) in shp and (1, 2) not in shp
