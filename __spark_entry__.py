@@ -300,7 +300,13 @@ def q_cms_weighted_qty_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED CMS: per-supplier total shipped quantity (each lineitem
     row adds l_quantity, not 1 — the token-count / byte-count frequency
     shape). Estimates never under-count the exact sum and over-count by
-    at most eps*N where N is the total added weight."""
+    at most eps*N where N is the total added weight.
+
+    delta=1e-6 (d=14 rows), not the usual 0.01: the gate asserts the
+    per-key bound for ALL suppliers, and the CMS guarantee is per-key
+    w.p. 1-delta — at delta=0.01 with ~100+ keys the all-rows assert
+    goes red ~1 run in 10 with no code change (ADVICE r4). With
+    delta=1e-6, n_keys*delta ~ 1e-4 even at sf0.1."""
     import math
 
     from sprout_spark.sketch import CountMinSketch
@@ -309,7 +315,7 @@ def q_cms_weighted_qty_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     cms = build_weighted_sketch(
-        li, "l_suppkey", "l_quantity", lambda: CountMinSketch(0.0005, 0.01)
+        li, "l_suppkey", "l_quantity", lambda: CountMinSketch(0.0005, 1e-6)
     )
     exact = li.groupBy("l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("qty")

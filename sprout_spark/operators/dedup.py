@@ -548,7 +548,14 @@ def simhash_signatures(
     vectorized (token hash bits vote ±1, sign of the per-bit sum).
     ``shingle_k > 1`` votes over k-token shingle hashes instead
     (order-sensitive, multiplicity preserved — same combine as the
-    minhash shingle path)."""
+    minhash shingle path).
+
+    Rows with no votes — zero tokens, or fewer than ``shingle_k``
+    tokens when shingling — are DROPPED, not emitted as sig=0: every
+    such doc would share the all-zero signature and collide in every
+    band downstream (a quadratic join of meaningless pairs). Same
+    no-shingles policy as :func:`minhash_band_rows` and the portable
+    variant (whose groupBy produces no row for them)."""
 
     def fn(batches):
         shifts = np.arange(64, dtype=np.uint64)
@@ -559,18 +566,17 @@ def simhash_signatures(
             h, offsets = _tokenize_batch(batch.column(1))
             if shingle_k > 1:
                 h, offsets = _shingle_hashes(h, offsets, shingle_k)
-            n = len(ids)
-            sig = np.zeros(n, dtype=np.uint64)
             counts = np.diff(offsets)
             nonempty = counts > 0
-            if len(h) and nonempty.any():
-                bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-                votes = np.add.reduceat(2 * bits - 1, offsets[:-1][nonempty], axis=0)
-                bitvals = (votes > 0).astype(np.uint64)
-                sig[nonempty] = (bitvals << shifts).sum(axis=1, dtype=np.uint64)
+            if not (len(h) and nonempty.any()):
+                continue
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            votes = np.add.reduceat(2 * bits - 1, offsets[:-1][nonempty], axis=0)
+            bitvals = (votes > 0).astype(np.uint64)
+            sig = (bitvals << shifts).sum(axis=1, dtype=np.uint64)
             yield pa.RecordBatch.from_pydict(
                 {
-                    "id": pa.array(ids, pa.int64()),
+                    "id": pa.array(ids[nonempty], pa.int64()),
                     "simhash": pa.array(sig.view(np.int64), pa.int64()),
                 }
             )
@@ -651,18 +657,19 @@ def simhash_near_dup_pairs_portable(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 4096,
     oversize_mode: str = "star",
     shingle_k: int = 1,
 ) -> DataFrame:
     """Near-dup pairs from the portable md5 SimHash: candidates share one
     of four 16-bit bands (pigeonhole => total recall at hamming<=3), then
-    exact Hamming verify, all JVM-side. With the default
-    ``max_bucket=None`` the banding provably loses nothing (the all-pairs
-    SQL oracle checks it); passing a finite ``max_bucket`` trades that
-    total-recall guarantee for bounded candidates in buckets larger than
-    the cap (see :func:`lsh_candidate_pairs` for star/drop/split
-    semantics). The band self-join routes through
+    exact Hamming verify, all JVM-side. The default ``max_bucket=4096``
+    keeps the hot-bucket guard (a boilerplate corpus can put thousands of
+    template docs into one (band, bh) bucket — an unbounded quadratic
+    self-join without it); inside over-cap buckets pair recall follows
+    ``oversize_mode`` rather than being total. Pass ``max_bucket=None``
+    for the unconditional pigeonhole guarantee — the all-pairs SQL oracle
+    queries do exactly that. The band self-join routes through
     :func:`lsh_candidate_pairs` either way."""
     if max_hamming > 3:
         raise ValueError("4-band pigeonhole guarantees recall only up to 3")
@@ -717,7 +724,10 @@ def simhash_near_dup_pairs(
     Zero-token docs are dropped (every empty doc hashes to sig=0, so they
     would all collide in every band — a quadratic join of meaningless
     "empty ~ empty" pairs; same policy as the minhash path); NULL texts
-    hash like empty ones and are dropped with them. The band self-join
+    hash like empty ones and are dropped with them. With ``shingle_k >
+    1``, docs with fewer than ``shingle_k`` tokens yield no shingles and
+    are dropped too (the kernel emits no row for vote-less docs), so
+    unrelated short docs cannot alias as sig=0 "exact" near-dups. The band self-join
     routes through :func:`lsh_candidate_pairs`, so the minhash hot-bucket
     guard applies here too (boilerplate corpora put thousands of template
     docs in one simhash band bucket) — note the default

@@ -428,7 +428,8 @@ def ann_ivf_topk_batch(
     query (the correctness gate uses this).
     """
     n_cells, dim = centroids.shape
-    nprobe = min(int(nprobe), n_cells)
+    # nprobe<=0 would feed argpartition a negative kth and probe nothing
+    nprobe = max(1, min(int(nprobe), n_cells))
     cents = np.asarray(centroids, dtype=np.float64)
     csq = 0.5 * (cents * cents).sum(axis=1)
 
@@ -464,15 +465,23 @@ def ann_ivf_topk_batch(
         F.col(q_id_col).cast("bigint").alias("qid"),
         F.col(q_vec_col).alias("v"),
     ).mapInArrow(assign, f"qid bigint, qvec array<{elem}>, cell int")
-    # persist: the probed-cells collect below would otherwise run the
-    # whole assignment kernel a second time when the join re-evaluates
-    # probes (mapInArrow is opaque to Catalyst — no partial reuse). The
-    # cache is n_queries x nprobe rows and Spark's LRU evicts it under
-    # pressure once the query's lifetime ends.
-    probes.persist()
+    # localCheckpoint (not persist): the probed-cells collect below would
+    # otherwise run the whole assignment kernel a second time when the
+    # join re-evaluates probes (mapInArrow is opaque to Catalyst — no
+    # partial reuse). An eager RDD-level checkpoint materializes the
+    # n_queries x nprobe rows ONCE, and — unlike DataFrame.persist, whose
+    # CacheManager entry lives until an explicit unpersist — its blocks
+    # are released by the ContextCleaner as soon as the returned result
+    # is dropped, so repeated batch probes in a long-lived session don't
+    # accumulate cached plans.
+    probes = probes.localCheckpoint(eager=True)
     # union of probed cells: bounded by n_cells rows, lets the index scan
     # prune at the directory level before any join
     hit = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    if not hit:  # empty / all-NULL query table: no cells, no work
+        return queries_df.sparkSession.createDataFrame(
+            [], "qid bigint, id bigint, cosine double, rank int"
+        )
     pruned = index.where(F.col("cell").isin(hit))
     right = F.broadcast(probes) if broadcast_queries else probes
     scored = pruned.join(right, "cell").select(

@@ -13,6 +13,19 @@ reference's ``Add``/``Merge`` pair established (dsa0x/sprout
 
 The serialized envelope is ``MAGIC | type | meta-json | payload`` so a
 single dispatcher can revive any sketch type on the merge side.
+
+Wire-format compatibility contract: the envelope is extended by adding
+OPTIONAL meta keys (readers ignore keys they don't know), which is
+backward- but NOT forward-compatible — e.g. the sparse HLL/CMS payloads
+(``nnz`` in meta, added r4) revive older dense payloads fine, but a
+payload WRITTEN sparse cannot be read by a pre-r4 reader (it would
+misparse the (indices, values) bytes as dense registers). Concretely: a
+streaming checkpoint or sketch-store table written by this version fails
+to load after a library rollback. Roll the library forward before
+restoring such state, or rewrite stored sketches with the old version
+first. A payload-layout change that an old reader would MISREAD silently
+must instead bump ``_MAGIC`` (``SPSK1`` → ``SPSK2``) so old readers fail
+loud.
 """
 
 from __future__ import annotations

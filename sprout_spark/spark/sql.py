@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, LongType
 
@@ -104,8 +104,9 @@ def _dispatch_by_name(bcs: dict, name_arr, kernel, out_np, out_pa):
 class SketchCatalog:
     """Several live sketches behind THREE stable SQL functions.
 
-    ``put(name, sketch)`` broadcasts the payload (memoized — re-putting
-    an identical sketch reuses the existing broadcast) and rebinds the
+    ``put(name, sketch)`` broadcasts the payload (memoized on a payload
+    digest — re-putting a byte-identical sketch reuses the existing
+    broadcast; any payload change ships a fresh one) and rebinds the
     catalog functions over a snapshot of the current entries; SQL then
     addresses sketches by name: ``<prefix>_might_contain('seen', col)``,
     ``<prefix>_cms_estimate('counts', col)``,
@@ -113,7 +114,13 @@ class SketchCatalog:
     entry (subsequent probes of that name raise). The name argument is
     dispatched vectorized per Arrow batch — with the usual literal name
     it costs one ``unique()`` per batch, and the probe kernels are the
-    same Arrow-native closures every other surface uses."""
+    same Arrow-native closures every other surface uses.
+
+    Beyond broadcast size, ``put_sharded(name, filters)`` registers a
+    sharded filter TABLE under the same namespace; such entries are
+    probed through the :meth:`might_contain` DataFrame transform (a
+    cogrouped shard join — no payload broadcast), keeping the stable-
+    name nightly-roll workflow at any filter size."""
 
     def __init__(self, spark: SparkSession, prefix: str = "sketch"):
         self.spark = spark
@@ -125,12 +132,29 @@ class SketchCatalog:
         # (which could unpersist a payload the registered UDF closures
         # still reference once a session juggles >16 sketches)
         self._bcs: dict = {}
+        self._digests: dict[str, str] = {}  # payload sha256 per entry
+        # beyond-broadcast entries: name -> (filter DataFrame, n_shards);
+        # probed via the cogroup transform (might_contain), never via the
+        # scalar SQL functions — there is no payload to broadcast
+        self._sharded: dict = {}
         self._rebind()
 
     def put(self, name: str, sketch: MergeableSketch) -> "SketchCatalog":
+        import hashlib
+
+        payload = sketch.to_bytes()
+        digest = hashlib.sha256(payload).hexdigest()
+        if self._digests.get(name) == digest:
+            # memoized: re-putting a byte-identical sketch (the no-change
+            # nightly roll) reuses the existing broadcast — no new
+            # payload ships, no rebind churn
+            self._sketches[name] = sketch
+            return self
         old = self._bcs.get(name)
         self._sketches[name] = sketch
-        self._bcs[name] = self.spark.sparkContext.broadcast(sketch.to_bytes())
+        self._sharded.pop(name, None)  # a name is one kind at a time
+        self._bcs[name] = self.spark.sparkContext.broadcast(payload)
+        self._digests[name] = digest
         self._rebind()
         if old is not None:
             # non-destructive: executors drop their copies; an in-flight
@@ -139,19 +163,77 @@ class SketchCatalog:
             old.unpersist()
         return self
 
+    def put_sharded(
+        self, name: str, filters: DataFrame, n_shards: int | None = None
+    ) -> "SketchCatalog":
+        """Register a SHARDED filter table (``spark/sharded.py`` layout,
+        ``[shard, sketch, rows, n_shards]``) under a catalog name — the
+        beyond-broadcast path: nothing is broadcast or even read here
+        (beyond one row to pin the modulus), and probes go through the
+        cogrouped shard join via :meth:`might_contain`, which stays
+        BroadcastExchange-free. Re-putting under the same name is the
+        nightly roll: the next probe uses the new table. The scalar SQL
+        functions cannot address sharded entries (a scalar UDF cannot
+        run a join); probing one by name there fails loud."""
+        from .sharded import _resolve_n_shards
+
+        n_shards = _resolve_n_shards(filters, n_shards)
+        dropped = name in self._sketches
+        self._sketches.pop(name, None)
+        self._digests.pop(name, None)
+        old = self._bcs.pop(name, None)
+        self._sharded[name] = (filters, n_shards)
+        if dropped:
+            self._rebind()
+        if old is not None:
+            old.unpersist()
+        return self
+
+    def might_contain(
+        self,
+        name: str,
+        df: DataFrame,
+        key_col: str,
+        out_col: str = "might_contain",
+        probe_salt: int = 4,
+    ) -> DataFrame:
+        """Uniform DataFrame-transform probe: ``df`` plus a membership
+        column, dispatched by catalog name — broadcast entries probe via
+        the Arrow UDF column, sharded entries via the cogrouped shard
+        join (no BroadcastExchange either way for the sharded kind).
+        Callers address the filter by its stable name and stay agnostic
+        to whether tonight's build fit a broadcast."""
+        if name in self._sharded:
+            from .sharded import sharded_might_contain
+
+            filters, n_shards = self._sharded[name]
+            return sharded_might_contain(
+                df, key_col, filters, n_shards, out_col, probe_salt
+            )
+        if name in self._sketches:
+            udf = contains_udf(self.spark, self._sketches[name])
+            return df.withColumn(out_col, udf(F.col(key_col)))
+        raise KeyError(
+            f"unknown catalog entry {name!r}; known: {self.names()}"
+        )
+
     def drop(self, name: str) -> "SketchCatalog":
         self._sketches.pop(name, None)
+        self._digests.pop(name, None)
+        self._sharded.pop(name, None)
         old = self._bcs.pop(name, None)
         self._rebind()
         if old is not None:
             old.unpersist()
         return self
 
-    def get(self, name: str) -> MergeableSketch:
+    def get(self, name: str):
+        if name in self._sharded:
+            return self._sharded[name][0]
         return self._sketches[name]
 
     def names(self) -> list[str]:
-        return sorted(self._sketches)
+        return sorted(set(self._sketches) | set(self._sharded))
 
     def _rebind(self) -> None:
         # snapshot dicts: executors see exactly the entries live at the

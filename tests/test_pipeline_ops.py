@@ -624,6 +624,44 @@ def test_simhash_drops_empty_docs_no_quadratic_pairs(spark):
     assert gotp == {(100, 101)}
 
 
+def test_simhash_shingled_drops_short_docs(spark):
+    """Regression (ADVICE r4, high): with shingle_k>1, docs with 1..k-1
+    tokens yield zero shingles; the kernel used to emit sig=0 for them,
+    so every unrelated short doc collided in every band and verified at
+    hamming 0 — wrongful deletions. They must be dropped, in BOTH
+    variants, matching the minhash no-shingles policy."""
+    from sprout_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_portable,
+        simhash_signatures,
+    )
+
+    rows = [(i, f"tok{i} uniq{i}") for i in range(20)]  # 2 toks < k=3
+    rows += [
+        (100, "alpha beta gamma delta epsilon"),
+        (101, "alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # the signature kernel itself emits no row for vote-less docs
+    sig_ids = {
+        r["id"]
+        for r in simhash_signatures(df, "doc_id", "text", shingle_k=3).collect()
+    }
+    assert sig_ids == {100, 101}
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_near_dup_pairs(df, "doc_id", "text", shingle_k=3).collect()
+    }
+    assert got == {(100, 101)}  # no short-doc sig=0 collisions
+    gotp = {
+        (r["a"], r["b"])
+        for r in simhash_near_dup_pairs_portable(
+            df, "doc_id", "text", shingle_k=3
+        ).collect()
+    }
+    assert gotp == {(100, 101)}
+
+
 def test_minhash_band_r_1_no_crash(spark, docs):
     """Regression: band_r=1 made the packed band matrix 8 bytes wide,
     violating the hash kernel's width contract (IndexError)."""
@@ -775,6 +813,41 @@ def test_ann_ivf_topk_batch_full_probe_equals_per_query_exact(spark, emb):
                  cosine_topk(emb, "vec_id", "embedding", list(qv), 3).collect()]
         batch = [i for _, i in sorted(by_q[qid])]
         assert batch == exact, (qid, batch, exact)
+
+
+def test_ann_ivf_topk_batch_no_lingering_cache_and_edge_guards(spark, emb):
+    """ADVICE r4: the batch probe must not leave a CacheManager entry
+    behind after the result is consumed (repeated probes in a long-lived
+    session accumulated cached plans); an empty query table must
+    short-circuit to an empty typed result instead of isin([]) +
+    argpartition edge cases; nprobe=0 must be lifted to 1, not crash."""
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    dim = len(emb.where("vec_id = 0").collect()[0]["embedding"])
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=4,
+                                train_rows_per_cell=64)
+    index = build_ivf_index(emb, "vec_id", "embedding", dim, cents)
+    spark.catalog.clearCache()
+    got = ann_ivf_topk_batch(emb.where("vec_id < 4"), "vec_id", "embedding",
+                             index, cents, k=3, nprobe=2)
+    assert len(got.collect()) > 0
+    # localCheckpoint blocks are ContextCleaner-managed, not CacheManager
+    # entries — nothing survives in the cache registry after the probe
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # empty query table: typed empty result, no job
+    nothing = ann_ivf_topk_batch(emb.where("vec_id < 0"), "vec_id",
+                                 "embedding", index, cents, k=3, nprobe=2)
+    assert nothing.collect() == []
+    assert [f.name for f in nothing.schema.fields] == [
+        "qid", "id", "cosine", "rank"]
+    # nprobe=0 guard: probes 1 cell instead of argpartition(-1)
+    one = ann_ivf_topk_batch(emb.where("vec_id = 0"), "vec_id", "embedding",
+                             index, cents, k=3, nprobe=0)
+    assert {r["qid"] for r in one.collect()} == {0}
 
 
 def test_ann_ivf_topk_batch_partial_probe_recall(spark, emb):

@@ -277,3 +277,63 @@ def test_sharded_sbf_no_cardinality_needed(spark, transcripts_path):
         import math
         assert fp / 50_000 <= err + 1.96 * math.sqrt(err * (1 - err) / 50_000)
         filters.unpersist()
+
+
+def test_sketch_catalog_sharded_entry_broadcast_free(spark, keyed_df):
+    """VERDICT r4 #4: a sharded filter behind a stable catalog name —
+    put_sharded registers the table, might_contain dispatches to the
+    cogrouped shard join, the plan stays BroadcastExchange-free, and
+    re-putting under the same name is the nightly roll."""
+    from sprout_spark.spark.sql import SketchCatalog
+
+    cat = SketchCatalog(spark, prefix="shcat")
+    filters = build_sharded_bloom(
+        keyed_df, "k", n_shards=8, expected_distinct=20_000, err_rate=0.01
+    ).cache()
+    cat.put_sharded("seen", filters)
+    assert "seen" in cat.names()
+    probed = cat.might_contain("seen", keyed_df.distinct(), "k")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    n = keyed_df.distinct().count()
+    assert probed.where("might_contain").count() == n  # zero FN by name
+    # nightly roll: a rebuilt filter replaces the old one under the name
+    other = spark.range(0, 100).select((F.col("id") + 1_000_000).alias("k"))
+    cat.put_sharded("seen", build_sharded_bloom(
+        other, "k", n_shards=4, expected_distinct=100, err_rate=0.01
+    ))
+    rolled = cat.might_contain("seen", other, "k")
+    assert rolled.where("might_contain").count() == 100
+    # the old keys are (mostly) gone — it's genuinely the new filter
+    stale = cat.might_contain("seen", keyed_df.distinct().limit(500), "k")
+    assert stale.where("might_contain").count() < 50
+    # unknown names fail loud on the transform surface too
+    with pytest.raises(KeyError, match="unknown catalog entry"):
+        cat.might_contain("nope", keyed_df, "k")
+    filters.unpersist()
+
+
+def test_sketch_catalog_put_memoized_and_uniform_transform(spark, keyed_df):
+    """ADVICE r4: put() is memoized on the payload digest (re-putting a
+    byte-identical sketch reuses the existing broadcast; a changed
+    sketch ships a new one), and might_contain() gives broadcast-sized
+    entries the same transform surface as sharded ones."""
+    from sprout_spark.sketch import BloomFilter
+    from sprout_spark.spark.sql import SketchCatalog
+
+    bf = BloomFilter(1000, 0.01)
+    bf.update_values([b"alpha", b"beta"])
+    cat = SketchCatalog(spark, prefix="memo").put("f", bf)
+    b1 = cat._bcs["f"]
+    cat.put("f", bf)  # identical payload -> same broadcast object
+    assert cat._bcs["f"] is b1
+    bf2 = BloomFilter(1000, 0.01)
+    bf2.update_values([b"alpha", b"beta", b"gamma"])
+    cat.put("f", bf2)  # changed payload -> fresh broadcast
+    assert cat._bcs["f"] is not b1
+    df = spark.createDataFrame(
+        [("alpha",), ("gamma",), ("zzz-not-there",)], "k string"
+    )
+    got = {r["k"]: r["might_contain"]
+           for r in cat.might_contain("f", df, "k").collect()}
+    assert got["alpha"] and got["gamma"]
