@@ -112,6 +112,56 @@ class ScalableBloomFilter(MergeableSketch):
         self.stages.append(BloomFilter(cap, err))
         self._sched_pos += 1
 
+    # -- distributed epoch growth (fold pre-built stages) --------------------
+    def _pristine(self) -> bool:
+        """True while nothing was ever added or folded: exactly the
+        constructor's empty initial stage."""
+        return (
+            len(self.stages) == 1
+            and self.stages[0].count == 0
+            and self._sched_pos == 1
+        )
+
+    def next_stage_err(self) -> float:
+        """The ε the NEXT folded stage must be built with: the schedule's
+        ε at the next position (the initial stage's own ε while the
+        filter is pristine — the first fold replaces it)."""
+        if self._pristine():
+            return self.stages[0].err_rate
+        return self._stage_params(self._sched_pos)[1]
+
+    def fold_stage(self, stage: BloomFilter) -> "ScalableBloomFilter":
+        """Append a PRE-BUILT fixed Bloom as this filter's next schedule
+        stage — the distributed epoch-growth path (streaming novelty):
+        each epoch's novel keys build ONE fixed-geometry Bloom in
+        parallel (fixed-geometry partials OR exactly; no stage ever
+        overloads), sized for the epoch's ACTUAL key count but holding
+        the schedule's ε for its position, so the compound FPR is the
+        organic schedule's own ``1 − Π(1 − ε₀·r^s)`` — ≤ err_rate
+        forever when ``strict=True``. Folding a stage built at the
+        wrong ε would silently spend more of the compound budget than
+        the schedule accounts for, so it is a hard error; build the
+        stage with ``BloomFilter(n_epoch_keys, sbf.next_stage_err())``.
+
+        A pristine filter's empty initial stage is REPLACED by the
+        first fold (it never saw a key, so it must not charge its ε —
+        or its probe cost — against the budget)."""
+        if not isinstance(stage, BloomFilter):
+            raise ValueError("fold_stage takes a fixed BloomFilter")
+        want = self.next_stage_err()
+        if not math.isclose(stage.err_rate, want, rel_tol=1e-9):
+            raise ValueError(
+                f"folded stage was built at err_rate={stage.err_rate!r}; "
+                f"the schedule's next position requires {want!r} "
+                "(use next_stage_err())"
+            )
+        if self._pristine():
+            self.stages[0] = stage
+            return self
+        self.stages.append(stage)
+        self._sched_pos += 1
+        return self
+
     @property
     def top(self) -> BloomFilter:
         return self.stages[-1]

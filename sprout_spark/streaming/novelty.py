@@ -258,6 +258,54 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
                 shutil.rmtree(os.path.join(self.seen_dir, d), ignore_errors=True)
         return n
 
+    def _fold_epoch(
+        self, spark, novel_committed: DataFrame, epoch_path: str
+    ) -> None:
+        """Fold an epoch's novel keys into the running filter.
+
+        Fixed sketches (Bloom, HLL, ...) keep the partial-build + merge
+        path. A ScalableBloomFilter gate instead FOLDS one fixed Bloom
+        stage per epoch (``fold_stage``): the r4 path built a fresh SBF
+        partial per epoch and stage-merged it, so every epoch's stage 0
+        OR'd into the running stage 0 — after E epochs the gate's real
+        FPR drifted to ~E× the budget (an efficiency leak: every false
+        positive is an unnecessary store read; exactness was never at
+        risk). The folded stage is sized for the epoch's ACTUAL novel
+        count (read from the just-written parquet footers — no extra
+        scan) at the schedule's next ε, so ``prob()`` tracks the organic
+        growth schedule and stays ≤ the configured ε for a
+        ``strict=True`` SBF, with no overload warning ever fired."""
+        from ..sketch.bloom import BloomFilter
+        from ..sketch.scalable_bloom import ScalableBloomFilter
+
+        if not isinstance(self.sketch, ScalableBloomFilter):
+            partial = build_sketch(
+                novel_committed, self.col, self.factory, fanin=self.fanin
+            )
+            self.sketch = self.sketch.merge(partial)
+            return
+        import glob
+
+        import pyarrow.parquet as pq
+
+        n_new = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(
+                os.path.join(epoch_path, "**", "*.parquet"), recursive=True
+            )
+        )
+        if n_new == 0:
+            return  # nothing novel: no stage, schedule doesn't advance
+        eps = self.sketch.next_stage_err()
+        cap = max(n_new, 11)  # bloom geometry floor
+        stage = build_sketch(
+            novel_committed,
+            self.col,
+            lambda: BloomFilter(cap, eps),
+            fanin=self.fanin,
+        )
+        self.sketch.fold_stage(stage)
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= self.last_epoch:
             return  # replayed micro-batch after restart: already committed
@@ -312,10 +360,7 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
             novel_committed = spark.read.schema(self._seen_schema).parquet(
                 epoch_path
             )
-            partial = build_sketch(
-                novel_committed, self.col, self.factory, fanin=self.fanin
-            )
-            self.sketch = self.sketch.merge(partial)
+            self._fold_epoch(spark, novel_committed, epoch_path)
             self.last_epoch = epoch_id
             self._save(epoch_id)
         finally:

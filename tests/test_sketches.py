@@ -655,3 +655,47 @@ def test_cms_inner_product_no_int64_overflow():
     b.counts[b.counts > 0] = 10_000_000_000
     est = a.inner_product(b)
     assert est >= 10_000_000_000 ** 2  # exact, not wrapped negative
+
+
+def test_sbf_fold_stage_schedule_and_guards():
+    """fold_stage: the distributed epoch-growth path. First fold replaces
+    the pristine initial stage; later folds append at the schedule's
+    tightening ε; wrong-ε stages fail loud; compound FPR tracks the
+    organic schedule (≤ err for strict=True); membership covers every
+    folded stage; round-trips through the wire format."""
+    import math
+
+    import pytest
+
+    from sprout_spark.sketch import BloomFilter, ScalableBloomFilter
+    from sprout_spark.sketch.base import sketch_from_bytes
+
+    err = 0.01
+    sbf = ScalableBloomFilter(initial_capacity=64, err_rate=err, strict=True)
+    eps0 = sbf.next_stage_err()
+    assert math.isclose(eps0, err * 0.1)  # strict pre-scale (1 - 0.9)
+    keys0 = [f"a{i}".encode() for i in range(40)]
+    st0 = BloomFilter(len(keys0), eps0)
+    st0.update_values(keys0)
+    sbf.fold_stage(st0)
+    assert len(sbf.stages) == 1  # pristine stage replaced, not appended
+    eps1 = sbf.next_stage_err()
+    assert math.isclose(eps1, eps0 * 0.9)
+    # wrong-ε stage: hard error, budget never silently overspent
+    bad = BloomFilter(20, eps0)
+    with pytest.raises(ValueError, match="next_stage_err"):
+        sbf.fold_stage(bad)
+    keys1 = [f"b{i}".encode() for i in range(200)]
+    st1 = BloomFilter(len(keys1), eps1)
+    st1.update_values(keys1)
+    sbf.fold_stage(st1)
+    assert len(sbf.stages) == 2 and sbf._sched_pos == 2
+    assert sbf.prob() <= err + 1e-12
+    assert all(st.count <= st.capacity for st in sbf.stages)
+    for k in keys0 + keys1:
+        assert sbf.contains(k)
+    rt = sketch_from_bytes(sbf.to_bytes())
+    assert len(rt.stages) == 2 and rt._sched_pos == 2
+    assert math.isclose(rt.next_stage_err(), eps0 * 0.9**2)
+    for k in keys0 + keys1:
+        assert rt.contains(k)
