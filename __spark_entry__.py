@@ -728,6 +728,23 @@ def q_fingerprint_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-level (substring) near-dup pairs — the dedup family
+    token-set Jaccard misses (doc A pasted in a much larger doc B):
+    winnowing fingerprints -> inverted-index join on the 8-byte fp ->
+    shared-count over min(nfp), plus the keep/trim decision column.
+    Portable md5 variant, max_fp_docs=None: exact DuckDB oracle parity
+    (``containment_pairs`` with the murmur kernel + hot-fp guard is the
+    throughput path, pytest-covered)."""
+    from sprout_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", gram=8, keep=16, threshold=0.5,
+        max_fp_docs=None, portable=True,
+    )
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the pipeline every training-data run
     needs before shipping: a deterministic eval slice (doc_id % 17 == 0)
@@ -1106,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": q_repetition_stats_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_shared": q_fingerprint_shared,
+        "containment_dup_pairs": q_containment_dup_pairs,
         "decontaminate_docs": q_decontaminate_docs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
@@ -1434,6 +1452,30 @@ SELECT id, min(r) AS cluster FROM reach GROUP BY id
         "simhash_shingle_pairs": _simhash_oracle_sql(3, shingle_k=3),
         "lang_id_documents": _lang_id_oracle_sql(2),
         "fingerprint_shared": _fingerprint_oracle_sql(8, 4),
+        "containment_dup_pairs": """
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest([('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT
+                 for i in range(1, length(text) - 6)]) AS fp
+  FROM documents WHERE length(text) >= 8
+),
+ranked AS (
+  SELECT id, fp, row_number() OVER (PARTITION BY id ORDER BY fp) AS rn FROM g
+),
+fps AS (SELECT DISTINCT id, fp FROM ranked WHERE rn <= 16),
+sizes AS (SELECT id, count(*) AS nfp FROM fps GROUP BY id),
+shr AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS shared
+  FROM fps l JOIN fps r ON l.fp = r.fp AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT s.a, s.b, s.shared,
+       na.nfp AS nfp_a, nb.nfp AS nfp_b,
+       CAST(s.shared AS DOUBLE) / least(na.nfp, nb.nfp) AS containment,
+       CASE WHEN na.nfp < nb.nfp THEN s.a ELSE s.b END AS trim
+FROM shr s JOIN sizes na ON na.id = s.a JOIN sizes nb ON nb.id = s.b
+WHERE CAST(s.shared AS DOUBLE) / least(na.nfp, nb.nfp) >= 0.5
+""",
         "decontaminate_docs": """
 WITH g AS (
   SELECT doc_id AS id,

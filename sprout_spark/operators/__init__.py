@@ -1,6 +1,7 @@
 """Training-data pipeline operators: dedup, similarity, multimodal."""
 
 from .dedup import (
+    containment_pairs,
     duplicate_clusters,
     exact_dedup,
     exact_jaccard_pairs,

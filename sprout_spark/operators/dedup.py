@@ -769,3 +769,94 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (substring-level) dedup
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    keep: int = 64,
+    threshold: float = 0.8,
+    max_fp_docs: int | None = 4096,
+    portable: bool = False,
+) -> DataFrame:
+    """Containment-level near-dup pairs — the dedup family token-set
+    Jaccard structurally misses: doc A pasted inside a 3× larger doc B
+    has Jaccard ≈ |A|/|B| (never trips a 0.8 threshold) but containment
+    ≈ 1. The standard boilerplate / quoted-reply / template-wrapper
+    shape in web corpora (Lee et al. 2021's motivation for substring-
+    level dedup).
+
+    Construction: winnowing fingerprints (min-``keep`` hashes of char
+    ``gram``-grams per doc, :func:`~sprout_spark.functions.text.
+    document_fingerprints`; the md5 ``portable=True`` variant is the
+    exact-DuckDB-oracle contract) → inverted-index self-join on the
+    8-byte fp (the ONLY shuffle moves (fp, id) rows — same shape as the
+    ``fingerprint_shared`` query) → per-pair shared-fp count over
+    ``min(nfp_a, nfp_b)``. Containment here is EXACT over the winnowed
+    fingerprint sets; it equals true gram-containment whenever ``keep``
+    covers a doc's distinct gram population (size ``keep`` for your
+    p99 doc length for substring semantics; smaller ``keep`` keeps the
+    cost-bounded proxy, biased low for very unequal lengths).
+
+    ``max_fp_docs`` is the hot-bucket guard (same rationale as
+    ``lsh_candidate_pairs``): a fingerprint present in more than that
+    many docs — site-wide boilerplate — would fan out quadratically, so
+    it is dropped from the JOIN (never from the per-doc ``nfp``
+    denominators, which are counted first); recall inside such grams is
+    traded for a bounded join, pass ``None`` for the exact oracle
+    contract.
+
+    Output: (a, b, shared, nfp_a, nfp_b, containment, trim) with
+    ``a < b``; ``trim`` is the doc the keep/trim policy drops — the one
+    with FEWER fingerprints (the contained side), ties dropping ``b``
+    (first-seen wins).
+    """
+    from ..functions.text import (
+        document_fingerprints,
+        document_fingerprints_portable,
+    )
+
+    fn = document_fingerprints_portable if portable else document_fingerprints
+    fps = fn(df, id_col, text_col, gram, keep).distinct()
+    sizes = fps.groupBy("id").agg(F.count("*").alias("nfp"))
+    if max_fp_docs is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_nd"))
+            .where(F.col("_nd") > int(max_fp_docs))
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    l = fps.select(F.col("id").alias("a"), "fp")
+    r = fps.select(F.col("id").alias("b"), "fp")
+    shared = (
+        l.join(r, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("nfp").alias("nfp_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("nfp").alias("nfp_b"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "containment",
+            (F.col("shared") / F.least("nfp_a", "nfp_b")).cast("double"),
+        )
+        .where(F.col("containment") >= float(threshold))
+        .withColumn(
+            "trim",
+            F.when(F.col("nfp_a") < F.col("nfp_b"), F.col("a")).otherwise(
+                F.col("b")
+            ),
+        )
+        .select("a", "b", "shared", "nfp_a", "nfp_b", "containment", "trim")
+    )
