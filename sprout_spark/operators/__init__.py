@@ -28,11 +28,16 @@ from .sampling import stratified_sample
 from .similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
+    append_to_ivf_index,
+    append_to_srp_index,
     build_ivf_index,
     build_srp_index,
     cosine_pairs_exact,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_cell_stats,
+    read_ivf_centroids,
+    srp_bucket_stats,
     srp_signatures,
     train_ivf_centroids,
     with_cosine,

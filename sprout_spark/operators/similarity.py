@@ -178,8 +178,88 @@ def build_srp_index(
     sigs = srp_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
     if path is not None:
         sigs.write.mode("overwrite").parquet(path)
+        _write_srp_sidecar(path, dim, n_planes, n_tables)
         return df.sparkSession.read.parquet(path)
     return sigs
+
+
+def _write_srp_sidecar(
+    path: str, dim: int, n_planes: int, n_tables: int
+) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "_srp_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "dim": int(dim),
+                "n_planes": int(n_planes),
+                "n_tables": int(n_tables),
+                "seed": _SRP_SEED,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "_srp_meta.json"))
+
+
+def append_to_srp_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    path: str = "",
+) -> DataFrame:
+    """Incremental SRP maintenance: signature NEW rows with the same
+    fixed seeded hyperplane family and append — the
+    :func:`append_to_ivf_index` analog. The family is a pure function of
+    (seed, dim, n_planes, n_tables), all pinned to the index dir in
+    ``_srp_meta.json`` at build time; appending with DIFFERENT geometry
+    would produce buckets no query ever joins (silent recall loss), so
+    a mismatch is a hard error. append(A); append(B) equals a one-shot
+    build over A ∪ B exactly."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_srp_meta.json")
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"index at {path!r} has no _srp_meta.json sidecar — rebuild "
+            "once via build_srp_index(path=...) to pin the geometry"
+        )
+    with open(mpath) as f:
+        meta = json.load(f)
+    want = {
+        "dim": int(dim),
+        "n_planes": int(n_planes),
+        "n_tables": int(n_tables),
+        "seed": _SRP_SEED,
+    }
+    stored = {k: meta.get(k) for k in want}
+    if stored != want:
+        raise ValueError(
+            f"SRP geometry mismatch: index pinned {stored}, append got "
+            f"{want} — buckets would never join; rebuild instead"
+        )
+    sigs = srp_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
+    sigs.write.mode("append").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def srp_bucket_stats(index: DataFrame) -> DataFrame:
+    """(bucket_size, n_buckets) histogram per signature table — the
+    ``lsh_bucket_stats`` analog over SRP (table, bucket) cells. A long
+    quadratic tail means too few planes for the corpus (hot buckets
+    serialize candidate generation)."""
+    return (
+        index.groupBy("table", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .orderBy(F.desc("bucket_size"))
+    )
 
 
 def ann_lsh_topk(
@@ -334,8 +414,123 @@ def build_ivf_index(
     )
     if path is not None:
         assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        _write_ivf_sidecar(path, centroids, dim)
         return df.sparkSession.read.parquet(path)
     return assigned
+
+
+def _centroid_digest(centroids: np.ndarray) -> str:
+    import hashlib
+
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    return hashlib.sha256(
+        repr(c.shape).encode() + c.tobytes()
+    ).hexdigest()
+
+
+def _write_ivf_sidecar(path: str, centroids: np.ndarray, dim: int) -> None:
+    """Pin the quantizer to the index dir: ``_ivf_meta.json`` (leading
+    underscore — parquet readers treat it as hidden, so the index scan
+    never sees it) records shape + digest + the centroid values
+    themselves, making the index self-describing: later appends verify
+    against it, and a reader can probe without re-deriving centroids."""
+    import json
+    import os
+
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    meta = {
+        "n_cells": int(c.shape[0]),
+        "dim": int(dim),
+        "digest": _centroid_digest(c),
+        "centroids": c.tolist(),
+    }
+    tmp = os.path.join(path, "_ivf_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_ivf_meta.json"))
+
+
+def read_ivf_centroids(path: str) -> np.ndarray:
+    """The frozen coarse quantizer pinned to a persisted IVF index."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    return np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    centroids: np.ndarray,
+    path: str,
+) -> DataFrame:
+    """Incremental IVF maintenance: assign NEW rows with the FROZEN
+    quantizer and append them to the existing cell partitions — the
+    nightly-ingest path that avoids re-clustering and rewriting the
+    whole index. Assignment is a pure function of (vector, centroids),
+    so append(A); append(B) produces exactly the same row set as a
+    one-shot build over A ∪ B (the equality pytest checks this), and
+    directory-level partition pruning keeps working unchanged.
+
+    Refuses loudly when ``centroids`` differ from the quantizer the
+    index was built with (``_ivf_meta.json`` sidecar): appending rows
+    assigned by a DIFFERENT quantizer would route vectors to cells the
+    probe never looks in — silent recall loss, the worst failure mode.
+    An index persisted before the sidecar existed must be rebuilt via
+    :func:`build_ivf_index(path=...)` once.
+
+    Note: drifted data under a frozen quantizer shows up as cell skew —
+    watch :func:`ivf_cell_stats` and re-train + rebuild when the
+    max/mean ratio degrades."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_ivf_meta.json")
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"index at {path!r} has no _ivf_meta.json sidecar (built "
+            "before centroid pinning, or not via build_ivf_index(path=...))"
+            " — rebuild once to pin the quantizer"
+        )
+    with open(mpath) as f:
+        meta = json.load(f)
+    got = _centroid_digest(np.asarray(centroids, dtype=np.float64))
+    if meta["digest"] != got or meta["dim"] != int(dim):
+        raise ValueError(
+            "centroids do not match the quantizer this index was built "
+            f"with (stored digest {meta['digest'][:12]}…, got {got[:12]}…,"
+            f" dim {meta['dim']} vs {dim}) — appending rows assigned by a"
+            " different quantizer silently loses recall; rebuild instead"
+        )
+    elem = df.schema[vec_col].dataType.elementType.simpleString()
+    assigned = df.select(
+        F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("v")
+    ).mapInArrow(
+        _ivf_assign_kernel(dim, np.asarray(centroids, dtype=np.float64)),
+        f"id bigint, vec array<{elem}>, cell int",
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def ivf_cell_stats(index: DataFrame) -> DataFrame:
+    """(cell, n_rows), largest first — the ``lsh_bucket_stats`` analog
+    for IVF. Skewed cells are IVF's failure mode (one hot cell serializes
+    every probe that touches it and breaks the nprobe/n_cells cost
+    model) and are otherwise invisible; a max/mean ratio creeping up
+    under appends means the frozen quantizer no longer fits the data —
+    re-train and rebuild. One map-side-combined count per cell; on a
+    persisted index the scan reads only the ``cell`` partition column
+    and parquet row-group metadata, not the vectors."""
+    return (
+        index.groupBy("cell")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy(F.desc("n_rows"), F.asc("cell"))
+    )
 
 
 def ann_ivf_topk(

@@ -1234,3 +1234,96 @@ def test_containment_pairs_hot_fp_guard_bounds_join(spark):
     # the 30 boilerplate docs share ONLY hot (>5-doc) fingerprints:
     # with the guard none of their C(30,2) pairs survive
     assert all(p[0] >= 100 for p in pairs)
+
+
+def test_ivf_append_equals_rebuild_and_refuses_mismatch(spark, emb, tmp_path):
+    """VERDICT r4 #3: append_to_ivf_index with the frozen quantizer is
+    row-set-identical to a one-shot rebuild over the union; appending
+    with different centroids (or to an unpinned index) fails loud; the
+    batch probe stays exact against the appended index; ivf_cell_stats
+    accounts for every row."""
+    import pytest
+
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        append_to_ivf_index,
+        build_ivf_index,
+        cosine_topk,
+        ivf_cell_stats,
+        read_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    old = emb.where("vec_id < 80")
+    new = emb.where("vec_id >= 80")
+    cents = train_ivf_centroids(old, "vec_id", "embedding", 32, n_cells=4,
+                                train_rows_per_cell=64)
+    p_inc = str(tmp_path / "inc")
+    build_ivf_index(old, "vec_id", "embedding", 32, cents, path=p_inc)
+    idx = append_to_ivf_index(new, "vec_id", "embedding", 32, cents, p_inc)
+    p_full = str(tmp_path / "full")
+    full = build_ivf_index(emb, "vec_id", "embedding", 32, cents, path=p_full)
+
+    def rows(df):
+        return sorted((r["id"], r["cell"], tuple(r["vec"])) for r in df.collect())
+
+    assert rows(idx) == rows(full)  # append == rebuild, exactly
+    assert np.array_equal(read_ivf_centroids(p_inc), cents)
+    # cell stats account for every row; the histogram is the skew monitor
+    stats = ivf_cell_stats(idx).collect()
+    assert sum(r["n_rows"] for r in stats) == emb.count()
+    assert stats[0]["n_rows"] >= stats[-1]["n_rows"]  # sorted desc
+    # batch probe against the APPENDED index: nprobe=n_cells is exact
+    queries = emb.where("vec_id IN (0, 81, 104)")
+    got = ann_ivf_topk_batch(queries, "vec_id", "embedding", idx, cents,
+                             k=3, nprobe=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"]))
+    for qid in (0, 81, 104):
+        qv = emb.where(f"vec_id = {qid}").collect()[0]["embedding"]
+        exact = [r["id"] for r in
+                 cosine_topk(emb, "vec_id", "embedding", list(qv), 3).collect()]
+        assert [i for _, i in sorted(by_q[qid])] == exact
+    # wrong quantizer: hard error, never silent recall loss
+    other = train_ivf_centroids(emb, "vec_id", "embedding", 32, n_cells=8,
+                                train_rows_per_cell=64)
+    with pytest.raises(ValueError, match="quantizer"):
+        append_to_ivf_index(new, "vec_id", "embedding", 32, other, p_inc)
+    # unpinned dir (no sidecar): refuse
+    bare = str(tmp_path / "bare")
+    build_ivf_index(old, "vec_id", "embedding", 32, cents).write.mode(
+        "overwrite").partitionBy("cell").parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        append_to_ivf_index(new, "vec_id", "embedding", 32, cents, bare)
+
+
+def test_srp_append_equals_rebuild_and_refuses_mismatch(spark, emb, tmp_path):
+    """SRP analog: append with the pinned seeded family equals a
+    one-shot rebuild; geometry mismatch fails loud; queries answer
+    against the appended index; bucket histogram covers all rows."""
+    import pytest
+
+    from sprout_spark.operators.similarity import (
+        ann_lsh_topk,
+        append_to_srp_index,
+        build_srp_index,
+        srp_bucket_stats,
+    )
+
+    old = emb.where("vec_id < 80")
+    new = emb.where("vec_id >= 80")
+    p = str(tmp_path / "srp")
+    build_srp_index(old, "vec_id", "embedding", 32, 10, 8, path=p)
+    idx = append_to_srp_index(new, "vec_id", "embedding", 32, 10, 8, path=p)
+    full = build_srp_index(emb, "vec_id", "embedding", 32, 10, 8)
+    assert (sorted(map(tuple, idx.collect()))
+            == sorted(map(tuple, full.collect())))
+    hist = srp_bucket_stats(idx).collect()
+    assert sum(r["bucket_size"] * r["n_buckets"] for r in hist) == idx.count()
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        append_to_srp_index(new, "vec_id", "embedding", 32, 12, 8, path=p)
+    q = emb.where("vec_id = 100").collect()[0]["embedding"]
+    top = ann_lsh_topk(emb, "vec_id", "embedding", list(q), k=3,
+                       n_planes=10, n_tables=8, index=idx).collect()
+    assert top[0]["id"] == 100  # the appended row answers its own probe
