@@ -490,6 +490,46 @@ def q_tdigest_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_bound_df(spark, vals, "v", td, rank_tol=0.01)
 
 
+def q_weighted_tdigest_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED t-digest quantiles: lineitem price per-UNIT distribution
+    (each row's l_extendedprice weighted by l_quantity — the
+    sample-weight shape of corpus token-length reports). The sketch
+    estimate's exact WEIGHTED rank (one conditional-sum pass) must sit
+    within the t-digest rank tolerance of each q; ties use the closed
+    [rank(<est), rank(<=est)] band like the unweighted gates."""
+    from sprout_spark.sketch import TDigest
+    from sprout_spark.spark.aggregate import build_weighted_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    td = build_weighted_sketch(vals, "v", "w", lambda: TDigest(200))
+    tol = 0.015
+    ests = {q: float(td.quantile(q)) for q in _QS}
+    aggs = [F.sum("w").alias("_n")]
+    for i, q in enumerate(_QS):
+        aggs.append(
+            F.sum(F.when(F.col("v") <= F.lit(ests[q]), F.col("w")).otherwise(0))
+            .alias(f"_le{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("v") < F.lit(ests[q]), F.col("w")).otherwise(0))
+            .alias(f"_lt{i}")
+        )
+    r = vals.agg(*aggs).collect()[0]
+    n = r["_n"]
+    rows = []
+    for i, q in enumerate(_QS):
+        le = r[f"_le{i}"] / n
+        lt = r[f"_lt{i}"] / n
+        rows.append((float(q), bool((lt - tol) <= q <= (le + tol))))
+    return spark.createDataFrame(rows, "q double, ok boolean")
+
+
 def q_bottomk_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k sample over event_id: exactly k distinct
     members of the table (membership verified exactly in Spark), KMV
@@ -1108,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
+        "weighted_tdigest_price_quantiles": q_weighted_tdigest_price_quantiles,
         "bottomk_sample_events": q_bottomk_sample_events,
         "grouped_hll_tool_distinct": q_grouped_hll_tool_distinct,
         "tdigest_latency_quantiles": q_tdigest_latency_quantiles,
@@ -1390,6 +1431,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kll_value_quantiles": f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)",
         "tdigest_lineitem_price": (
+            f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "weighted_tdigest_price_quantiles": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
         ),
         "bottomk_sample_events": (

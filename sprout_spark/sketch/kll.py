@@ -75,15 +75,51 @@ class KLL(MergeableSketch):
                     break
 
     # -- partial -----------------------------------------------------------------
-    def update_array(self, values) -> None:
+    def update_array(self, values, weights=None) -> None:
+        """Add values; with ``weights`` (non-negative int64), each value
+        counts ``w`` times — inserted by binary decomposition of the
+        weight (the bit-b copy goes straight into level ``b``, whose
+        items weigh ``2**b``), the standard weighted-KLL construction
+        (same technique as Apache DataSketches' weighted update): total
+        inserted weight is exactly ``Σw`` and the published rank bound
+        is unchanged, at ``popcount(w)`` row copies instead of ``w``."""
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        keep = ~np.isnan(values)
+        values = values[keep]
+        if weights is None:
+            if len(values) == 0:
+                return
+            self.min = min(self.min, float(values.min()))
+            self.max = max(self.max, float(values.max()))
+            self.n += len(values)
+            self.levels[0] = np.concatenate([self.levels[0], values])
+            self._compress()
+            return
+        w = np.asarray(weights)[keep]
+        if not np.issubdtype(w.dtype, np.integer):
+            wi = np.asarray(w, dtype=np.int64)
+            if not np.array_equal(wi, w):
+                raise ValueError("KLL weights must be integers")
+            w = wi
+        else:
+            w = w.astype(np.int64)
+        if (w < 0).any():
+            raise ValueError("KLL weights must be >= 0")
+        pos = w > 0
+        values, w = values[pos], w[pos]
         if len(values) == 0:
             return
         self.min = min(self.min, float(values.min()))
         self.max = max(self.max, float(values.max()))
-        self.n += len(values)
-        self.levels[0] = np.concatenate([self.levels[0], values])
+        self.n += int(w.sum())
+        for b in range(int(w.max()).bit_length()):
+            m = ((w >> b) & 1) == 1
+            if not m.any():
+                continue
+            while len(self.levels) <= b:
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.parity.append(0)
+            self.levels[b] = np.concatenate([self.levels[b], values[m]])
         self._compress()
 
     def update_arrow(self, arr) -> None:

@@ -249,10 +249,90 @@ def build_weighted_sketch(
     """Weighted build: each row adds ``weight_col`` (int64) to its key —
     the token-count / byte-count frequency shape (e.g. CMS of "how many
     TOKENS did each source contribute", not "how many rows"). Same
-    partial→tree-merge skeleton as :func:`build_sketch`; the sketch
-    must accept per-row weights (CMS does). NULL weights count 0; NULL
-    keys hash as the empty key, exactly like the unweighted path."""
+    partial→tree-merge skeleton as :func:`build_sketch`.
+
+    Dispatches on the sketch's partial interface: hash-keyed sketches
+    (CMS — ``add_packed(mat, lens, weights)``) get the packed-bytes
+    kernel; numeric quantile sketches (t-digest, KLL —
+    ``update_array(values, weights)``) get a float64 kernel, giving
+    weighted quantiles (sample-weighted token-length percentiles, price
+    quantiles weighted by units, ...). Rows with NULL or non-positive
+    weight are dropped in the numeric path (a zero-weight observation
+    carries no rank mass); NULL weights count 0 and NULL keys hash as
+    the empty key in the hash path, exactly like the unweighted path."""
+    import inspect
+
     from ..hashing import pack_arrow
+
+    def _takes_weights(meth) -> bool:
+        try:
+            return "weights" in inspect.signature(meth).parameters
+        except (TypeError, ValueError):
+            return False
+
+    probe = factory()
+    weighted_hash = hasattr(probe, "add_packed") and _takes_weights(
+        probe.add_packed
+    )
+    if not weighted_hash:
+        if not (
+            hasattr(probe, "update_array")
+            and _takes_weights(probe.update_array)
+        ):
+            raise ValueError(
+                f"{type(probe).__name__} supports neither weighted "
+                "add_packed(mat, lens, weights) nor "
+                "update_array(values, weights)"
+            )
+
+        def fn_numeric(batches):
+            from pyspark import TaskContext
+
+            t0 = time.perf_counter()
+            sk = factory()
+            rows = 0
+            for batch in batches:
+                import pyarrow.compute as pc
+
+                arr = batch.column(0)
+                w = batch.column(1)
+                rows += len(arr)
+                if not len(arr):
+                    continue
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if isinstance(w, pa.ChunkedArray):
+                    w = w.combine_chunks()
+                vals = np.asarray(
+                    pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+                )
+                weights = (
+                    pc.fill_null(pc.cast(w, pa.int64()), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                m = weights > 0
+                if m.any():
+                    sk.update_array(vals[m], weights[m])
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "part_id": pa.array([pid], pa.int64()),
+                    "sketch": pa.array([sk.to_bytes()], pa.binary()),
+                    "rows": pa.array([rows], pa.int64()),
+                    "build_ms": pa.array(
+                        [(time.perf_counter() - t0) * 1000.0], pa.float64()
+                    ),
+                }
+            )
+
+        partials = df.select(
+            F.col(col).cast("double"),
+            F.col(weight_col).cast("long").alias("_w"),
+        ).mapInArrow(fn_numeric, SKETCH_ROW_SCHEMA)
+        n = df.rdd.getNumPartitions()
+        return collect_merged(tree_merge(partials, n, fanin=fanin), factory)
 
     def fn(batches):
         from pyspark import TaskContext

@@ -699,3 +699,50 @@ def test_sbf_fold_stage_schedule_and_guards():
     assert math.isclose(rt.next_stage_err(), eps0 * 0.9**2)
     for k in keys0 + keys1:
         assert rt.contains(k)
+
+
+def test_kll_weighted_update_binary_decomposition():
+    """Weighted KLL: update_array(values, weights) inserts by binary
+    decomposition of the weight (bit-b copy -> level b), so total weight
+    is exact, rank/quantile track the exact WEIGHTED distribution within
+    the rank bound, guards reject non-integer/negative weights, and a
+    weighted sketch merges with an unweighted one."""
+    import numpy as np
+    import pytest
+
+    from sprout_spark.sketch import KLL, TDigest
+
+    rng = np.random.RandomState(11)
+    vals = rng.gamma(2.0, 10.0, 4000)
+    w = rng.randint(0, 40, 4000)  # includes zero weights (dropped)
+    k = KLL(200)
+    k.update_array(vals, w)
+    assert k.n == int(w.sum())
+    order = np.argsort(vals)
+    v, ww = vals[order], w[order].astype(float)
+    cum = np.cumsum(ww) / ww.sum()
+    for q in (0.1, 0.5, 0.9):
+        est = k.quantile(q)
+        r = ww[v <= est].sum() / ww.sum()
+        assert abs(r - q) <= 0.025, (q, est, r)
+    with pytest.raises(ValueError, match="integers"):
+        KLL(200).update_array([1.0], [1.5])
+    with pytest.raises(ValueError, match=">= 0"):
+        KLL(200).update_array([1.0], [-1])
+    # weighted + unweighted partials merge (the distributed shape)
+    a, b = KLL(200), KLL(200)
+    a.update_array(vals[:2000], w[:2000])
+    b.update_array(np.repeat(vals[2000:], w[2000:]))  # explicit expansion
+    a.merge(b)
+    assert a.n == int(w.sum())
+    for q in (0.25, 0.75):
+        est = a.quantile(q)
+        r = ww[v <= est].sum() / ww.sum()
+        assert abs(r - q) <= 0.025
+    # t-digest: weighted update matches the expanded-row distribution
+    t = TDigest(200)
+    t.update_array(vals, w)
+    for q in (0.1, 0.5, 0.9):
+        est = t.quantile(q)
+        r = ww[v <= est].sum() / ww.sum()
+        assert abs(r - q) <= 0.01

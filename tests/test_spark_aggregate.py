@@ -528,3 +528,55 @@ def test_build_weighted_sketch_cms_bounds_and_parallelism(spark, transcripts):
     )
     c3 = build_weighted_sketch(nulled, "k", "w", lambda: CountMinSketch(0.01, 0.01))
     assert c3.estimate("a") == 5 and c3.estimate("b") == 2 and c3.total == 7
+
+
+def test_build_weighted_sketch_quantiles_and_parallelism(spark, transcripts):
+    """VERDICT r4 #7: the weighted partial path extends to the numeric
+    quantile sketches. Token-length quantiles weighted by a per-row
+    sample weight track the exact weighted distribution within each
+    sketch's rank bound, at BOTH 2 and 16 build partitions (the
+    distributed merge preserves the weighted semantics)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sketch import KLL, TDigest
+    from sprout_spark.spark.aggregate import build_weighted_sketch
+
+    df = transcripts.select(
+        F.size(F.split(F.col("text"), r"\s+")).cast("double").alias("v"),
+        (F.col("turn_idx") % 7 + 1).cast("long").alias("w"),
+    )
+    rows = df.collect()
+    v = np.array([r["v"] for r in rows])
+    w = np.array([r["w"] for r in rows], dtype=float)
+    order = np.argsort(v)
+    v, w = v[order], w[order]
+    cumw = np.cumsum(w) / w.sum()
+
+    for parts in (2, 16):
+        d = df.repartition(parts)
+        td = build_weighted_sketch(d, "v", "w", lambda: TDigest(200))
+        kll = build_weighted_sketch(d, "v", "w", lambda: KLL(200))
+        assert kll.n == int(w.sum())
+        for q in (0.1, 0.5, 0.9):
+            for sk, tol in ((td, 0.015), (kll, 0.03)):
+                est = sk.quantile(q)
+                # token lengths are heavily tied: the estimate's exact
+                # weighted rank is the closed band [rank(<est), rank(<=est)]
+                le = w[v <= est].sum() / w.sum()
+                lt = w[v < est].sum() / w.sum()
+                assert lt - tol <= q <= le + tol, (
+                    parts, type(sk).__name__, q, lt, le)
+
+
+def test_build_weighted_sketch_rejects_unweightable(spark, transcripts):
+    """A sketch with neither weighted interface fails loud, not silent."""
+    import pytest
+
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.spark.aggregate import build_weighted_sketch
+
+    with pytest.raises(ValueError, match="neither"):
+        build_weighted_sketch(
+            transcripts, "turn_idx", "turn_idx", lambda: HyperLogLog(p=12)
+        )
