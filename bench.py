@@ -366,6 +366,20 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
             docs0, "doc_id", "text", threshold=0.9, max_bucket=256
         ).count(),
     )
+    # containment on the UNTILED corpus for the same reason; murmur
+    # kernel (throughput path), keep=16, hot-fp guard at the realistic
+    # boilerplate setting (matching near_dup's max_bucket=256 above).
+    # Cost profile at sf0.1: dominated by the one-pass gram-window
+    # kernel (linear), not the guarded fp join.
+    from sprout_spark.operators.dedup import containment_pairs
+
+    timed(
+        "containment_pairs_docs",
+        lambda: containment_pairs(
+            docs0, "doc_id", "text", gram=8, keep=16, threshold=0.5,
+            max_fp_docs=256,
+        ).count(),
+    )
     timed(
         "text_stats_docs",
         lambda: with_text_stats(docs, "text").select(F.max("n_ws_tokens")).collect(),

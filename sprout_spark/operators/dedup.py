@@ -825,6 +825,13 @@ def containment_pairs(
 
     fn = document_fingerprints_portable if portable else document_fingerprints
     fps = fn(df, id_col, text_col, gram, keep).distinct()
+    # materialize the fingerprint table ONCE (eager RDD checkpoint, same
+    # pattern as ann_ivf_topk_batch): it feeds FIVE consumers below (two
+    # join sides, two size lookups, the hot-fp aggregate), and the
+    # fingerprint kernel is opaque to Catalyst — without this the corpus
+    # would be re-scanned and re-fingerprinted per consumer. Blocks are
+    # ContextCleaner-managed: freed when the result DataFrame is dropped.
+    fps = fps.localCheckpoint(eager=True)
     sizes = fps.groupBy("id").agg(F.count("*").alias("nfp"))
     if max_fp_docs is not None:
         hot = (

@@ -76,7 +76,7 @@ def spark01():
 @pytest.fixture(scope="module")
 def ddb():
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "events"]:
         p = os.path.join(SF01, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
@@ -103,7 +103,18 @@ def _min_label_components(pairs):
 
 
 @pytest.mark.parametrize(
-    "name", ["stratified_sample_documents", "ann_ivf_batch_topk"]
+    "name",
+    [
+        "stratified_sample_documents",
+        "ann_ivf_batch_topk",
+        # VERDICT r4 #8: the streaming + sharded paths at 10x keys —
+        # the bucketed seen-store pruning, per-shard SBF growth, and
+        # watermarked windowed state all have linear oracles, so they
+        # run the unchanged full comparison
+        "streaming_novel_docs",
+        "sharded_sbf_recall",
+        "windowed_hll_events",
+    ],
 )
 def test_full_oracle_at_sf01(spark01, ddb, name):
     """Queries whose oracles are linear/windowed run the UNCHANGED
