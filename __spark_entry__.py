@@ -1117,6 +1117,43 @@ def q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", F.col("rank").cast("bigint").alias("rank"), "id")
 
 
+def q_ann_ivf_appended_batch_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index MAINTENANCE under the oracle gate: build a persisted
+    cell-partitioned IVF index over 4/5 of the embeddings (quantizer
+    trained on that slice and pinned to the dir), APPEND the held-out
+    1/5 with the frozen quantizer, and batch-probe the appended index
+    at nprobe == n_cells — exact brute force over the FULL table, so
+    the same all-pairs SQL window reproduces (qid, rank, id) bit-for-
+    bit. A lost/mis-assigned appended row would break the equality, so
+    this gates append correctness end-to-end, not just recall."""
+    import tempfile
+
+    from sprout_spark.operators.similarity import (
+        ann_ivf_topk_batch,
+        append_to_ivf_index,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    dim = len(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    cents = train_ivf_centroids(old, "vec_id", "embedding", dim, n_cells=8)
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_index(old, "vec_id", "embedding", dim, cents, path=td)
+        index = append_to_ivf_index(new, "vec_id", "embedding", dim, cents, td)
+        queries_df = emb.where(F.col("vec_id") < 8)
+        out = ann_ivf_topk_batch(
+            queries_df, "vec_id", "embedding", index, cents, k=5, nprobe=8
+        ).select("qid", F.col("rank").cast("bigint").alias("rank"), "id")
+        # materialize before the index dir vanishes with the context
+        rows = [(r["qid"], r["rank"], r["id"]) for r in out.collect()]
+    return spark.createDataFrame(rows, "qid bigint, rank bigint, id bigint")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1175,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
+        "ann_ivf_appended_batch_topk": q_ann_ivf_appended_batch_topk,
         "stratified_sample_documents": q_stratified_sample_documents,
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
@@ -1608,6 +1646,19 @@ FROM (
             # exact per-query top-5 by cosine over ALL pairs: equals the
             # Spark batch-IVF path because nprobe == n_cells is brute
             # force; ids break cosine ties on both sides
+            "SELECT qid, rnk AS rank, id FROM ("
+            "SELECT q.vec_id AS qid, d.vec_id AS id, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(d.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]) DESC, d.vec_id ASC) AS rnk "
+            "FROM (SELECT * FROM embeddings WHERE vec_id < 8) q "
+            "CROSS JOIN embeddings d) WHERE rnk <= 5"
+        ),
+        "ann_ivf_appended_batch_topk": (
+            # same all-pairs window: the appended index holds exactly the
+            # full table (append == rebuild), and nprobe == n_cells is
+            # brute force, so the split/append plumbing must reproduce
+            # the identical (qid, rank, id) rows
             "SELECT qid, rnk AS rank, id FROM ("
             "SELECT q.vec_id AS qid, d.vec_id AS id, "
             "row_number() OVER (PARTITION BY q.vec_id ORDER BY "

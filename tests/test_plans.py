@@ -89,3 +89,22 @@ def test_stratified_sample_has_mapside_group_limit(spark, transcripts_path):
     # being BELOW the exchange means it runs on the map side
     assert partial_pos > exchange_pos
     assert plan.count("Exchange hashpartitioning") == 1  # exactly one shuffle
+
+
+def test_containment_pairs_runs_fingerprint_kernel_once(spark, transcripts_path):
+    """containment_pairs feeds its fingerprint table to five consumers
+    (two join sides, two size lookups, the hot-fp aggregate); the kernel
+    is opaque to Catalyst, so the plan must read the MATERIALIZED table
+    (one eager checkpoint pass), never re-scan + re-fingerprint per
+    consumer — at 100 TB that difference is six corpus scans vs one."""
+    from sprout_spark.operators.dedup import containment_pairs
+
+    df = spark.read.parquet(transcripts_path).select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), F.col("text")
+    ).limit(200)
+    out = containment_pairs(df, "doc_id", "text", gram=8, keep=8,
+                            threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan  # kernel already ran (checkpoint)
+    assert "Scan parquet" not in plan  # corpus never re-scanned
+    out.collect()  # and the checkpointed plan actually executes
