@@ -785,6 +785,20 @@ def q_containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment keep/trim POLICY applied: documents minus every
+    doc some containment pair trimmed (the contained side; chains
+    collapse toward the largest docs). One anti-join on the trim set —
+    the operator a pipeline actually calls after scoring pairs."""
+    from sprout_spark.operators.dedup import drop_contained
+
+    docs = load(spark, sf_dir, "documents")
+    return drop_contained(
+        docs, "doc_id", "text", gram=8, keep=16, threshold=0.5,
+        max_fp_docs=None, portable=True,
+    ).select("doc_id")
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the pipeline every training-data run
     needs before shipping: a deterministic eval slice (doc_id % 17 == 0)
@@ -1202,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_shared": q_fingerprint_shared,
         "containment_dup_pairs": q_containment_dup_pairs,
+        "containment_clean_docs": q_containment_clean_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
@@ -1557,6 +1572,31 @@ SELECT s.a, s.b, s.shared,
        CASE WHEN na.nfp < nb.nfp THEN s.a ELSE s.b END AS trim
 FROM shr s JOIN sizes na ON na.id = s.a JOIN sizes nb ON nb.id = s.b
 WHERE CAST(s.shared AS DOUBLE) / least(na.nfp, nb.nfp) >= 0.5
+""",
+        "containment_clean_docs": """
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest([('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT
+                 for i in range(1, length(text) - 6)]) AS fp
+  FROM documents WHERE length(text) >= 8
+),
+ranked AS (
+  SELECT id, fp, row_number() OVER (PARTITION BY id ORDER BY fp) AS rn FROM g
+),
+fps AS (SELECT DISTINCT id, fp FROM ranked WHERE rn <= 16),
+sizes AS (SELECT id, count(*) AS nfp FROM fps GROUP BY id),
+shr AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS shared
+  FROM fps l JOIN fps r ON l.fp = r.fp AND l.id < r.id
+  GROUP BY l.id, r.id
+),
+trims AS (
+  SELECT CASE WHEN na.nfp < nb.nfp THEN s.a ELSE s.b END AS trim
+  FROM shr s JOIN sizes na ON na.id = s.a JOIN sizes nb ON nb.id = s.b
+  WHERE CAST(s.shared AS DOUBLE) / least(na.nfp, nb.nfp) >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT trim FROM trims)
 """,
         "decontaminate_docs": """
 WITH g AS (

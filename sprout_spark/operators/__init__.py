@@ -2,6 +2,7 @@
 
 from .dedup import (
     containment_pairs,
+    drop_contained,
     duplicate_clusters,
     exact_dedup,
     exact_jaccard_pairs,

@@ -867,3 +867,29 @@ def containment_pairs(
         )
         .select("a", "b", "shared", "nfp_a", "nfp_b", "containment", "trim")
     )
+
+
+def drop_contained(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    keep: int = 64,
+    threshold: float = 0.8,
+    max_fp_docs: int | None = 4096,
+    portable: bool = False,
+) -> DataFrame:
+    """Apply :func:`containment_pairs`' keep/trim policy: the input
+    minus every doc some pair trimmed (the contained/smaller side; a
+    doc that is both a keeper in one pair and trimmed in another still
+    drops — containment chains collapse toward the largest docs).
+    One anti-join on the bigint id; all other columns pass through."""
+    pairs = containment_pairs(
+        df, id_col, text_col, gram, keep, threshold, max_fp_docs, portable
+    )
+    trims = pairs.select(F.col("trim").alias("_trim_id")).distinct()
+    return df.join(
+        trims,
+        df[id_col].cast("bigint") == trims["_trim_id"],
+        "left_anti",
+    )

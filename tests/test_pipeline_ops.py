@@ -1327,3 +1327,21 @@ def test_srp_append_equals_rebuild_and_refuses_mismatch(spark, emb, tmp_path):
     top = ann_lsh_topk(emb, "vec_id", "embedding", list(q), k=3,
                        n_planes=10, n_tables=8, index=idx).collect()
     assert top[0]["id"] == 100  # the appended row answers its own probe
+
+
+def test_drop_contained_applies_trim_policy(spark):
+    """drop_contained removes exactly the trimmed (contained) sides;
+    containment chains collapse toward the largest doc."""
+    from sprout_spark.operators.dedup import drop_contained
+
+    a = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    b = a + " " + " ".join(f"mid{i} dle{i}" for i in range(30))
+    c = b + " " + " ".join(f"out{i} er{i}" for i in range(30))  # a ⊂ b ⊂ c
+    other = " ".join(f"gamma{i} delta{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, other)], "doc_id bigint, text string"
+    )
+    kept = {r["doc_id"] for r in drop_contained(
+        df, "doc_id", "text", gram=8, keep=10_000, threshold=0.8,
+        max_fp_docs=None).collect()}
+    assert kept == {3, 4}  # chain collapses to the largest; other untouched
