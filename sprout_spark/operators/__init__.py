@@ -33,6 +33,7 @@ from .similarity import (
     append_to_srp_index,
     build_ivf_index,
     build_srp_index,
+    compact_ivf_index,
     cosine_pairs_exact,
     cosine_topk,
     embedding_near_dup_pairs,

@@ -795,3 +795,47 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= min_cosine)
         .select("a", "b", "cosine")
     )
+
+
+def compact_ivf_index(spark, path: str) -> DataFrame:
+    """Offline IVF maintenance (run with no readers active): fold the
+    small files nightly appends accumulate — every
+    :func:`append_to_ivf_index` adds at least one parquet file per
+    touched cell dir, and after months of appends a probe of one cell
+    opens hundreds of tiny files (the classic small-files problem; at
+    100 TB the open/footers overhead dominates the pruned read).
+
+    Rewrite: hash-repartition on ``cell`` into ``n_cells`` tasks so
+    each cell lands wholly in one task → ONE file per cell dir, still
+    directory-prunable; the quantizer sidecar is carried over verbatim
+    (compaction moves bytes, never re-assigns). The swap is
+    write-aside + rename — atomic enough for a single filesystem; on an
+    object store, point readers at a manifest/catalog (e.g. an Iceberg
+    table of (id, vec, cell)) and swap that instead. Returns the
+    re-read index."""
+    import json
+    import os
+    import shutil
+
+    mpath = os.path.join(path, "_ivf_meta.json")
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"index at {path!r} has no _ivf_meta.json sidecar — only "
+            "pinned indexes (build_ivf_index(path=...)) can be compacted"
+        )
+    with open(mpath) as f:
+        meta = json.load(f)
+    idx = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        idx.repartition(int(meta["n_cells"]), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)

@@ -1345,3 +1345,48 @@ def test_drop_contained_applies_trim_policy(spark):
         df, "doc_id", "text", gram=8, keep=10_000, threshold=0.8,
         max_fp_docs=None).collect()}
     assert kept == {3, 4}  # chain collapses to the largest; other untouched
+
+
+def test_compact_ivf_index_one_file_per_cell(spark, emb, tmp_path):
+    """Repeated appends accumulate small files per cell dir; compaction
+    folds each cell to ONE file, preserves rows and the quantizer
+    sidecar bit-for-bit, and appends keep working afterwards."""
+    import glob
+    import os
+
+    from sprout_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        read_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", 32, n_cells=4,
+                                train_rows_per_cell=64)
+    p = str(tmp_path / "ivf")
+    build_ivf_index(emb.where("vec_id < 50"), "vec_id", "embedding", 32,
+                    cents, path=p)
+    for lo, hi in ((50, 70), (70, 90), (90, 200)):
+        append_to_ivf_index(emb.where(f"vec_id >= {lo} AND vec_id < {hi}"),
+                            "vec_id", "embedding", 32, cents, p)
+
+    def files_per_cell():
+        return {
+            d: len(glob.glob(os.path.join(p, d, "*.parquet")))
+            for d in os.listdir(p) if d.startswith("cell=")
+        }
+
+    before = files_per_cell()
+    assert max(before.values()) > 1  # appends really fragmented it
+    rows_before = sorted(
+        (r["id"], r["cell"]) for r in spark.read.parquet(p).collect())
+    idx = compact_ivf_index(spark, p)
+    after = files_per_cell()
+    assert set(after.values()) == {1}  # one file per cell dir
+    assert sorted((r["id"], r["cell"]) for r in idx.collect()) == rows_before
+    assert np.array_equal(read_ivf_centroids(p), cents)  # sidecar intact
+    # maintenance keeps composing: append after compact
+    append_to_ivf_index(emb.where("vec_id >= 200"), "vec_id", "embedding",
+                        32, cents, p)
+    assert spark.read.parquet(p).count() == emb.count()
