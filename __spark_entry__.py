@@ -608,6 +608,51 @@ def q_grouped_tdigest_value_median(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_grouped_weighted_tdigest_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-supplier WEIGHTED median price (each lineitem row weighted by
+    l_quantity — the grouped per-source sample-weighted report shape):
+    salted grouped weighted build, each group's estimate checked against
+    its exact WEIGHTED rank with the closed tie band."""
+    from sprout_spark.sketch import TDigest
+    from sprout_spark.spark.aggregate import (
+        build_grouped_sketches,
+        grouped_estimate,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        (F.col("l_suppkey") % 25).cast("string").alias("grp"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = build_grouped_sketches(
+        vals, "grp", "v", lambda: TDigest(200), salt=4, weight_col="w"
+    )
+    med = grouped_estimate(g, lambda s: s.quantile(0.5)).withColumnRenamed(
+        "key", "grp"
+    )
+    joined = vals.join(med, "grp")
+    ranks = joined.groupBy("grp").agg(
+        (
+            F.sum(F.when(F.col("v") <= F.col("estimate"), F.col("w")).otherwise(0))
+            / F.sum("w")
+        ).alias("rank_hi"),
+        (
+            F.sum(F.when(F.col("v") < F.col("estimate"), F.col("w")).otherwise(0))
+            / F.sum("w")
+        ).alias("rank_lo"),
+    )
+    return ranks.select(
+        "grp",
+        (
+            (F.col("rank_lo") - 0.015 <= 0.5)
+            & (F.lit(0.5) <= F.col("rank_hi") + 0.015)
+        ).alias("ok"),
+    )
+
+
 def q_tdigest_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event latency quantiles per user stream (the north-star
     'latency quantiles' workload): window-lag deltas → t-digest, rank
@@ -1204,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_hll_tool_distinct": q_grouped_hll_tool_distinct,
         "tdigest_latency_quantiles": q_tdigest_latency_quantiles,
         "grouped_tdigest_value_median": q_grouped_tdigest_value_median,
+        "grouped_weighted_tdigest_median": q_grouped_weighted_tdigest_median,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
         "minhash_shingle_pairs": q_minhash_shingle_pairs,
@@ -1502,6 +1548,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "grouped_tdigest_value_median": (
             "SELECT event_type, true AS ok FROM events GROUP BY event_type"
+        ),
+        "grouped_weighted_tdigest_median": (
+            "SELECT CAST(l_suppkey % 25 AS VARCHAR) AS grp, true AS ok "
+            "FROM lineitem GROUP BY 1"
         ),
         "exact_dedup_documents": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "

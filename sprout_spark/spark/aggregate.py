@@ -67,6 +67,59 @@ def _is_numeric_arrow(arr_type: pa.DataType) -> bool:
     )
 
 
+def _require_weighted_interface(factory) -> bool:
+    """Validate a factory's sketch can take per-row weights; returns
+    True for the weighted-hash interface (``add_packed(mat, lens,
+    weights)`` — CMS), False for the numeric one (``update_array(values,
+    weights)`` — t-digest/KLL). Raises for neither — at the DRIVER, not
+    as a TypeError halfway through a job."""
+    import inspect
+
+    def takes_weights(meth) -> bool:
+        try:
+            return "weights" in inspect.signature(meth).parameters
+        except (TypeError, ValueError):
+            return False
+
+    probe = factory()
+    if hasattr(probe, "add_packed") and takes_weights(probe.add_packed):
+        return True
+    if hasattr(probe, "update_array") and takes_weights(probe.update_array):
+        return False
+    raise ValueError(
+        f"{type(probe).__name__} supports neither weighted "
+        "add_packed(mat, lens, weights) nor update_array(values, weights)"
+    )
+
+
+def _update_sketch_from_arrow_weighted(sk, arr, warr, weighted_hash) -> None:
+    """Weighted analog of :func:`_update_sketch_from_arrow`: dispatch an
+    Arrow (values, weights) pair to the sketch's weighted update."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(warr, pa.ChunkedArray):
+        warr = warr.combine_chunks()
+    weights = (
+        pc.fill_null(pc.cast(warr, pa.int64()), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if weighted_hash:
+        from ..hashing import pack_arrow
+
+        mat, lens = pack_arrow(arr)
+        sk.add_packed(mat, lens, weights)
+        return
+    vals = np.asarray(
+        pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+    )
+    m = weights > 0
+    if m.any():
+        sk.update_array(vals[m], weights[m])
+
+
 def _update_sketch_from_arrow(sk: MergeableSketch, arr) -> None:
     """Dispatch an Arrow array to the sketch's vectorized update path."""
     t = arr.type
@@ -260,30 +313,10 @@ def build_weighted_sketch(
     weight are dropped in the numeric path (a zero-weight observation
     carries no rank mass); NULL weights count 0 and NULL keys hash as
     the empty key in the hash path, exactly like the unweighted path."""
-    import inspect
-
     from ..hashing import pack_arrow
 
-    def _takes_weights(meth) -> bool:
-        try:
-            return "weights" in inspect.signature(meth).parameters
-        except (TypeError, ValueError):
-            return False
-
-    probe = factory()
-    weighted_hash = hasattr(probe, "add_packed") and _takes_weights(
-        probe.add_packed
-    )
+    weighted_hash = _require_weighted_interface(factory)
     if not weighted_hash:
-        if not (
-            hasattr(probe, "update_array")
-            and _takes_weights(probe.update_array)
-        ):
-            raise ValueError(
-                f"{type(probe).__name__} supports neither weighted "
-                "add_packed(mat, lens, weights) nor "
-                "update_array(values, weights)"
-            )
 
         def fn_numeric(batches):
             from pyspark import TaskContext
@@ -292,28 +325,13 @@ def build_weighted_sketch(
             sk = factory()
             rows = 0
             for batch in batches:
-                import pyarrow.compute as pc
-
                 arr = batch.column(0)
-                w = batch.column(1)
                 rows += len(arr)
                 if not len(arr):
                     continue
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                if isinstance(w, pa.ChunkedArray):
-                    w = w.combine_chunks()
-                vals = np.asarray(
-                    pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+                _update_sketch_from_arrow_weighted(
+                    sk, arr, batch.column(1), weighted_hash=False
                 )
-                weights = (
-                    pc.fill_null(pc.cast(w, pa.int64()), 0)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                )
-                m = weights > 0
-                if m.any():
-                    sk.update_array(vals[m], weights[m])
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
             yield pa.RecordBatch.from_pydict(
@@ -486,6 +504,7 @@ def build_grouped_sketches(
     val_col: str,
     factory: Callable[[], MergeableSketch],
     salt: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key sketches: DataFrame[key string, sketch binary, rows bigint].
 
@@ -497,8 +516,18 @@ def build_grouped_sketches(
     salting *exact*, not approximate (SURVEY.md §4.2). The salt is
     deterministic (a hash of the value, never rand()) so reruns are
     byte-stable.
+
+    ``weight_col`` gives the per-key WEIGHTED build (the per-source
+    token-count report: each row adds its weight, not 1) with the same
+    interface dispatch as :func:`build_weighted_sketch` — weighted
+    ``add_packed`` for hash sketches (CMS), ``update_array(values,
+    weights)`` for the numeric quantile sketches (t-digest, KLL);
+    sketches with neither fail loud at the driver. NULL/non-positive
+    weights drop in the numeric path, count 0 in the hash path.
     """
     out_schema = "key string, sketch binary, rows bigint"
+    if weight_col is not None:
+        _require_weighted_interface(factory)
 
     # grouped-build analog of _warn_if_partials_oversized: HLL/CMS
     # partials self-shrink (sparse wire payloads), but a Bloom filter's
@@ -523,6 +552,10 @@ def build_grouped_sketches(
                 stacklevel=2,
             )
 
+    weighted_hash = (
+        _require_weighted_interface(factory) if weight_col is not None else False
+    )
+
     def build_group(tbl: pa.Table) -> pa.Table:
         # Arrow-native: the value column goes straight to the sketch's
         # vectorized update (exact int64+null handling), never through a
@@ -532,7 +565,12 @@ def build_grouped_sketches(
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         if len(arr):
-            _update_sketch_from_arrow(sk, arr)
+            if weight_col is not None:
+                _update_sketch_from_arrow_weighted(
+                    sk, arr, tbl.column("_w"), weighted_hash
+                )
+            else:
+                _update_sketch_from_arrow(sk, arr)
         return pa.table(
             {
                 "key": pa.array([tbl.column(key_col)[0].as_py()], pa.string()),
@@ -555,7 +593,10 @@ def build_grouped_sketches(
             }
         )
 
-    base = df.select(F.col(key_col).cast("string").alias(key_col), val_col)
+    cols = [F.col(key_col).cast("string").alias(key_col), F.col(val_col)]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("_w"))
+    base = df.select(*cols)
     if salt and salt > 1:
         salted = base.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(val_col)), F.lit(salt))

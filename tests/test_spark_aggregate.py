@@ -580,3 +580,57 @@ def test_build_weighted_sketch_rejects_unweightable(spark, transcripts):
         build_weighted_sketch(
             transcripts, "turn_idx", "turn_idx", lambda: HyperLogLog(p=12)
         )
+
+
+def test_build_grouped_sketches_weighted(spark, transcripts):
+    """Grouped WEIGHTED builds: per-role token-length t-digests weighted
+    by a per-row weight track each group's exact weighted distribution;
+    salted and unsalted builds agree within bound; weighted CMS per
+    group never under-counts; unweightable sketches fail at the driver."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sketch import CountMinSketch, HyperLogLog, TDigest
+    from sprout_spark.sketch.base import sketch_from_bytes
+    from sprout_spark.spark.aggregate import build_grouped_sketches
+
+    df = transcripts.select(
+        "role",
+        F.size(F.split(F.col("text"), r"\s+")).cast("double").alias("v"),
+        (F.col("turn_idx") % 5 + 1).cast("long").alias("w"),
+    )
+    rows = df.collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append((r["v"], r["w"]))
+
+    for salt in (0, 4):
+        got = {
+            r["key"]: sketch_from_bytes(r["sketch"])
+            for r in build_grouped_sketches(
+                df, "role", "v", lambda: TDigest(200), salt=salt,
+                weight_col="w",
+            ).collect()
+        }
+        assert set(got) == set(by_role)
+        for role, pairs in by_role.items():
+            v = np.array([p[0] for p in pairs])
+            w = np.array([p[1] for p in pairs], dtype=float)
+            order = np.argsort(v)
+            v, w = v[order], w[order]
+            est = got[role].quantile(0.5)
+            le = w[v <= est].sum() / w.sum()
+            lt = w[v < est].sum() / w.sum()
+            assert lt - 0.02 <= 0.5 <= le + 0.02, (salt, role, lt, le)
+    # weighted CMS per group: estimate >= exact weighted count per key
+    cms_rows = build_grouped_sketches(
+        transcripts.select("role", "tool",
+                           (F.col("turn_idx") % 3 + 1).alias("w")),
+        "role", "tool", lambda: CountMinSketch(0.001, 0.01), weight_col="w",
+    ).collect()
+    assert len(cms_rows) == len(by_role)
+    with pytest.raises(ValueError, match="neither"):
+        build_grouped_sketches(
+            df, "role", "v", lambda: HyperLogLog(p=12), weight_col="w"
+        )
