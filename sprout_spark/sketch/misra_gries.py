@@ -105,6 +105,35 @@ class MisraGries(MergeableSketch):
             (_norm_value(v), c) for v, c in Counter(values).items()
         )
 
+    def update_weighted_arrow(self, arr, weights) -> None:
+        """Weighted adds: each row contributes its (int64) weight, not 1
+        — heavy hitters BY TOKEN/BYTE VOLUME instead of row count (the
+        same shape the weighted CMS estimates; this enumerates them).
+        The MG guarantees hold verbatim with N = Σweights: decrements
+        are count-agnostic. Per-row work stays in Arrow (group-by-value
+        weight sums); NULL/negative weights count 0."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_dictionary(arr.type):
+            arr = arr.dictionary_decode()
+        if pa.types.is_floating(arr.type) or pa.types.is_decimal(arr.type):
+            raise TypeError(
+                "float/decimal keys are not supported by Misra-Gries; "
+                "cast to string or int first"
+            )
+        w = np.asarray(weights, dtype=np.int64)
+        if len(w) != len(arr):
+            raise ValueError("weights length must match values length")
+        t = pa.table({"v": arr, "w": pa.array(np.maximum(w, 0), pa.int64())})
+        g = t.group_by("v").aggregate([("w", "sum")])
+        self._add_counts(
+            (_norm_value(v), int(c))
+            for v, c in zip(
+                g.column("v").to_pylist(), g.column("w_sum").to_pylist()
+            )
+            if c
+        )
+
     # -- final -----------------------------------------------------------------
     def merge(self, other: "MisraGries") -> "MisraGries":
         if not isinstance(other, MisraGries) or other.k != self.k:

@@ -67,12 +67,14 @@ def _is_numeric_arrow(arr_type: pa.DataType) -> bool:
     )
 
 
-def _require_weighted_interface(factory) -> bool:
-    """Validate a factory's sketch can take per-row weights; returns
-    True for the weighted-hash interface (``add_packed(mat, lens,
-    weights)`` — CMS), False for the numeric one (``update_array(values,
-    weights)`` — t-digest/KLL). Raises for neither — at the DRIVER, not
-    as a TypeError halfway through a job."""
+def _require_weighted_interface(factory) -> str:
+    """Validate a factory's sketch can take per-row weights; returns the
+    interface kind: ``'hash'`` (``add_packed(mat, lens, weights)`` —
+    CMS), ``'numeric'`` (``update_array(values, weights)`` —
+    t-digest/KLL), or ``'arrow'`` (``update_weighted_arrow(arr,
+    weights)`` — Misra-Gries and other value-keyed summaries). Raises
+    for none of the three — at the DRIVER, not as a TypeError halfway
+    through a job."""
     import inspect
 
     def takes_weights(meth) -> bool:
@@ -83,16 +85,19 @@ def _require_weighted_interface(factory) -> bool:
 
     probe = factory()
     if hasattr(probe, "add_packed") and takes_weights(probe.add_packed):
-        return True
+        return "hash"
     if hasattr(probe, "update_array") and takes_weights(probe.update_array):
-        return False
+        return "numeric"
+    if hasattr(probe, "update_weighted_arrow"):
+        return "arrow"
     raise ValueError(
-        f"{type(probe).__name__} supports neither weighted "
-        "add_packed(mat, lens, weights) nor update_array(values, weights)"
+        f"{type(probe).__name__} supports none of the weighted partial "
+        "interfaces: add_packed(mat, lens, weights), "
+        "update_array(values, weights), update_weighted_arrow(arr, weights)"
     )
 
 
-def _update_sketch_from_arrow_weighted(sk, arr, warr, weighted_hash) -> None:
+def _update_sketch_from_arrow_weighted(sk, arr, warr, kind) -> None:
     """Weighted analog of :func:`_update_sketch_from_arrow`: dispatch an
     Arrow (values, weights) pair to the sketch's weighted update."""
     import pyarrow.compute as pc
@@ -106,11 +111,14 @@ def _update_sketch_from_arrow_weighted(sk, arr, warr, weighted_hash) -> None:
         .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
-    if weighted_hash:
+    if kind == "hash":
         from ..hashing import pack_arrow
 
         mat, lens = pack_arrow(arr)
         sk.add_packed(mat, lens, weights)
+        return
+    if kind == "arrow":
+        sk.update_weighted_arrow(arr, weights)
         return
     vals = np.asarray(
         pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
@@ -306,51 +314,16 @@ def build_weighted_sketch(
 
     Dispatches on the sketch's partial interface: hash-keyed sketches
     (CMS — ``add_packed(mat, lens, weights)``) get the packed-bytes
-    kernel; numeric quantile sketches (t-digest, KLL —
-    ``update_array(values, weights)``) get a float64 kernel, giving
-    weighted quantiles (sample-weighted token-length percentiles, price
-    quantiles weighted by units, ...). Rows with NULL or non-positive
-    weight are dropped in the numeric path (a zero-weight observation
-    carries no rank mass); NULL weights count 0 and NULL keys hash as
-    the empty key in the hash path, exactly like the unweighted path."""
-    from ..hashing import pack_arrow
-
-    weighted_hash = _require_weighted_interface(factory)
-    if not weighted_hash:
-
-        def fn_numeric(batches):
-            from pyspark import TaskContext
-
-            t0 = time.perf_counter()
-            sk = factory()
-            rows = 0
-            for batch in batches:
-                arr = batch.column(0)
-                rows += len(arr)
-                if not len(arr):
-                    continue
-                _update_sketch_from_arrow_weighted(
-                    sk, arr, batch.column(1), weighted_hash=False
-                )
-            ctx = TaskContext.get()
-            pid = ctx.partitionId() if ctx is not None else 0
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "part_id": pa.array([pid], pa.int64()),
-                    "sketch": pa.array([sk.to_bytes()], pa.binary()),
-                    "rows": pa.array([rows], pa.int64()),
-                    "build_ms": pa.array(
-                        [(time.perf_counter() - t0) * 1000.0], pa.float64()
-                    ),
-                }
-            )
-
-        partials = df.select(
-            F.col(col).cast("double"),
-            F.col(weight_col).cast("long").alias("_w"),
-        ).mapInArrow(fn_numeric, SKETCH_ROW_SCHEMA)
-        n = df.rdd.getNumPartitions()
-        return collect_merged(tree_merge(partials, n, fanin=fanin), factory)
+    path; numeric quantile sketches (t-digest, KLL —
+    ``update_array(values, weights)``) a float64 path, giving weighted
+    quantiles (sample-weighted token-length percentiles, price
+    quantiles weighted by units, ...); value-keyed summaries
+    (Misra-Gries — ``update_weighted_arrow(arr, weights)``) an
+    Arrow-native path. Rows with NULL or non-positive weight are
+    dropped in the numeric path (a zero-weight observation carries no
+    rank mass); NULL weights count 0 and NULL keys hash as the empty
+    key in the hash path, exactly like the unweighted path."""
+    kind = _require_weighted_interface(factory)
 
     def fn(batches):
         from pyspark import TaskContext
@@ -360,23 +333,10 @@ def build_weighted_sketch(
         rows = 0
         for batch in batches:
             arr = batch.column(0)
-            w = batch.column(1)
             rows += len(arr)
             if not len(arr):
                 continue
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            if isinstance(w, pa.ChunkedArray):
-                w = w.combine_chunks()
-            import pyarrow.compute as pc
-
-            weights = (
-                pc.fill_null(pc.cast(w, pa.int64()), 0)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            mat, lens = pack_arrow(arr)
-            sk.add_packed(mat, lens, weights)
+            _update_sketch_from_arrow_weighted(sk, arr, batch.column(1), kind)
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         yield pa.RecordBatch.from_pydict(
@@ -552,8 +512,8 @@ def build_grouped_sketches(
                 stacklevel=2,
             )
 
-    weighted_hash = (
-        _require_weighted_interface(factory) if weight_col is not None else False
+    weighted_kind = (
+        _require_weighted_interface(factory) if weight_col is not None else None
     )
 
     def build_group(tbl: pa.Table) -> pa.Table:
@@ -567,7 +527,7 @@ def build_grouped_sketches(
         if len(arr):
             if weight_col is not None:
                 _update_sketch_from_arrow_weighted(
-                    sk, arr, tbl.column("_w"), weighted_hash
+                    sk, arr, tbl.column("_w"), weighted_kind
                 )
             else:
                 _update_sketch_from_arrow(sk, arr)

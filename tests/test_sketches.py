@@ -746,3 +746,32 @@ def test_kll_weighted_update_binary_decomposition():
         est = t.quantile(q)
         r = ww[v <= est].sum() / ww.sum()
         assert abs(r - q) <= 0.01
+
+
+def test_misra_gries_weighted_adds():
+    """Weighted MG: heavy hitters by weight volume. The no-over-count /
+    deficit-bounded guarantees hold with N = Σweights; NULL/zero-weight
+    rows contribute nothing; merge composes weighted partials."""
+    import pyarrow as pa
+
+    from sprout_spark.sketch.misra_gries import MisraGries
+
+    mg = MisraGries(k=4)
+    vals = pa.array(
+        ["big", "big", "small1", "small2", "small3", "small4", "small5", None]
+    )
+    w = [500, 300, 1, 2, 1, 1, 1, 99]  # null key: arrow groups it; weight rides
+    mg.update_weighted_arrow(vals, w)
+    assert mg.total == sum(w)
+    est = mg.estimate("big")
+    assert est <= 800 <= est + mg.deficit  # never over; deficit-bounded
+    assert mg.deficit <= mg.total / (4 + 1)
+    hh = {v for v, _, _ in mg.heavy_hitters(0.4)}
+    assert "big" in hh
+    # merge of weighted partials
+    a, b = MisraGries(k=4), MisraGries(k=4)
+    a.update_weighted_arrow(pa.array(["x", "y"]), [100, 1])
+    b.update_weighted_arrow(pa.array(["x", "z"]), [100, 1])
+    a.merge(b)
+    ex = a.estimate("x")
+    assert ex <= 200 <= ex + a.deficit

@@ -576,7 +576,7 @@ def test_build_weighted_sketch_rejects_unweightable(spark, transcripts):
     from sprout_spark.sketch import HyperLogLog
     from sprout_spark.spark.aggregate import build_weighted_sketch
 
-    with pytest.raises(ValueError, match="neither"):
+    with pytest.raises(ValueError, match="weighted partial"):
         build_weighted_sketch(
             transcripts, "turn_idx", "turn_idx", lambda: HyperLogLog(p=12)
         )
@@ -630,7 +630,29 @@ def test_build_grouped_sketches_weighted(spark, transcripts):
         "role", "tool", lambda: CountMinSketch(0.001, 0.01), weight_col="w",
     ).collect()
     assert len(cms_rows) == len(by_role)
-    with pytest.raises(ValueError, match="neither"):
+    with pytest.raises(ValueError, match="weighted partial"):
         build_grouped_sketches(
             df, "role", "v", lambda: HyperLogLog(p=12), weight_col="w"
         )
+
+
+def test_build_weighted_sketch_misra_gries(spark, transcripts):
+    """Weighted MG through the distributed build: per-tool weight volume
+    heavy hitters, est <= true <= est + deficit for every tool."""
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sketch.misra_gries import MisraGries
+    from sprout_spark.spark.aggregate import build_weighted_sketch
+
+    df = transcripts.where(F.col("tool") != "").select(
+        "tool", (F.col("turn_idx") % 5 + 1).cast("long").alias("w")
+    )
+    mg = build_weighted_sketch(df, "tool", "w", lambda: MisraGries(k=16))
+    exact = {
+        r["tool"]: r["s"]
+        for r in df.groupBy("tool").agg(F.sum("w").alias("s")).collect()
+    }
+    assert mg.total == sum(exact.values())
+    for tool, true_w in exact.items():
+        est = mg.estimate(tool)
+        assert est <= true_w <= est + mg.deficit, (tool, est, true_w)
