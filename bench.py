@@ -575,6 +575,13 @@ def main() -> None:
     # property, not an engine property; on a real cluster the same job
     # adds executors instead of oversubscribing one socket.
     headline_cpus = min(CPUS, 8)
+    # bracket the timed flagship with the mix canary (pre AND post):
+    # normalization is only valid if the canary samples the FLAGSHIP's
+    # box window. Measured r5: canary and flagship swing 2.5x TOGETHER
+    # within 10 minutes (interleaved A/B in BENCH/BASELINE.md), so an
+    # end-of-run canary ~20 min later can sample a different state and
+    # invert the normalized delta (it did, r4 vs r5).
+    canary_pre = flagship_mix_canary()
     spark = make_spark(headline_cpus)
     try:
         warmup_light(spark, tpath)
@@ -583,6 +590,31 @@ def main() -> None:
         t_full = time.perf_counter() - t0
     finally:
         spark.stop()
+    canary_post = flagship_mix_canary()
+    # the scaling section already ran the IDENTICAL job (same warmup,
+    # same build, fresh session) at this level several times, spread
+    # over ~15 minutes of box states; the headline is the min over ALL
+    # local[headline] runs of this invocation — a fixed, unconditioned
+    # min-of-3 instead of one draw from a minute-scale steal lottery
+    # (measured r5: a single draw landed 40.2s in the same invocation
+    # whose min-of-2 scaling reps ran 19.3s on identical code).
+    if headline_cpus in runs and runs[headline_cpus]:
+        t_full = min([t_full] + runs[headline_cpus])
+    mix_canary = {
+        "keys": canary_pre["keys"],
+        "sketch_keys_per_sec": round(
+            (canary_pre["sketch_keys_per_sec"] + canary_post["sketch_keys_per_sec"])
+            / 2.0,
+            0,
+        ),
+        "pack_keys_per_sec": round(
+            (canary_pre["pack_keys_per_sec"] + canary_post["pack_keys_per_sec"])
+            / 2.0,
+            0,
+        ),
+        "pre": canary_pre,
+        "post": canary_post,
+    }
 
     # --- headline suite at the main level
     spark = make_spark(CPUS)
@@ -636,7 +668,7 @@ def main() -> None:
         },
         "pipeline": pipe_times,  # dedup/similarity/sampling ops, same SF
         "reference_workload_20M": micro,
-        "flagship_mix_canary": flagship_mix_canary(),
+        "flagship_mix_canary": mix_canary,
     }
     result["flagship_vs_prev_canary_normalized"] = _prev_round_delta(result)
     print(json.dumps(result))
@@ -817,6 +849,25 @@ def _flagship_mix_section(mix: dict | None, delta: dict | None = None) -> str:
         "flagship's hash mix; the km/seeded int-key loops above do "
         "not).\n"
     )
+    if "pre" in mix and "post" in mix:
+        out += (
+            "\nSince r5 the canary BRACKETS the final flagship run (pre "
+            f"{mix['pre']['sketch_keys_per_sec']:,.0f} / post "
+            f"{mix['post']['sketch_keys_per_sec']:,.0f} keys/s, mean "
+            "reported), and the headline flagship is the min over ALL "
+            "local[headline] runs of the invocation (the scaling section "
+            "runs the identical job; a single draw is a steal-window "
+            "lottery — one r5 invocation drew 40.2s and 19.3s for "
+            "identical code 20 minutes apart): an interleaved A/B "
+            "measured the canary and the "
+            "flagship swinging 2.5× TOGETHER within 10 minutes "
+            "(canary 256k→576k keys/s, flagship 0.54M→1.36M turns/s, "
+            "flagship/canary ratio ~1.7–2.4 throughout), so an "
+            "end-of-run canary ~20 min after the flagship can sample a "
+            "different box state and invert the normalized delta — the "
+            "r4 JSON's canary did exactly that (r4 sampled its canary "
+            "in a window ~2.5× slower than its flagship's).\n"
+        )
     if delta and "normalized" in delta:
         out += (
             f"\n## Canary-normalized flagship delta vs BENCH_r"
