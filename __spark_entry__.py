@@ -265,6 +265,58 @@ def q_streaming_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, keyed_schema)
 
 
+def q_kv_store_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated KV store (the reference's Store surface, storage.go:3-10
+    + the bloom-gated Get of bloom.go:220-236, re-expressed as a bucketed
+    parquet table with batch Put/Get): epoch 0 puts every order's status,
+    epoch 1 upserts the urgent orders with 'U'; a probe batch (a key
+    slice plus two never-put keys) must see latest-epoch-wins values and
+    NULL for the absent keys — the bloom elides the store read for those
+    entirely. Plain SQL reproduces the upsert semantics exactly."""
+    import os
+    import tempfile
+
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    orders = load(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as td:
+        kv = BloomGatedKVStore(
+            spark,
+            os.path.join(td, "kv"),
+            n_buckets=16,
+            expected_keys=2 * orders.count(),
+        )
+        kv.put(
+            orders.select(
+                F.col("o_orderkey").cast("string").alias("k"),
+                F.col("o_orderstatus").cast("binary").alias("v"),
+            ),
+            "k",
+            "v",
+        )
+        kv.put(
+            orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_orderkey").cast("string").alias("k"),
+                F.lit("U").cast("binary").alias("v"),
+            ),
+            "k",
+            "v",
+        )
+        probes = orders.where(F.col("o_orderkey") % 97 == 0).select(
+            F.col("o_orderkey").cast("string").alias("key")
+        ).unionByName(
+            spark.createDataFrame(
+                [("absent-1",), ("absent-2",)], "key string"
+            )
+        )
+        rows = (
+            kv.get(probes, "key")
+            .select("key", F.col("value").cast("string").alias("value"))
+            .collect()  # materialize before the tempdir vanishes
+        )
+    return spark.createDataFrame(rows, "key string, value string")
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL estimate within ±3·1.04/√m of the exact distinct count; the
     exact count rides along so the oracle check is tied to the data."""
@@ -1277,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
+        "kv_store_get": q_kv_store_get,
     }
 
 
@@ -1778,5 +1831,22 @@ FROM (
             "row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 25"
+        ),
+        "kv_store_get": (
+            # two epochs of puts = latest-wins upsert; never-put probe
+            # keys come back NULL (on the Spark side those never touch
+            # the store at all — the bloom gate elides the read)
+            "WITH put1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, "
+            "CAST(o_orderstatus AS VARCHAR) AS val FROM orders), "
+            "put2 AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, "
+            "'U' AS val FROM orders WHERE o_orderpriority = '1-URGENT'), "
+            "latest AS (SELECT key, val FROM put2 UNION ALL "
+            "SELECT key, val FROM put1 "
+            "WHERE key NOT IN (SELECT key FROM put2)), "
+            "probes AS (SELECT CAST(o_orderkey AS VARCHAR) AS key "
+            "FROM orders WHERE o_orderkey % 97 = 0 "
+            "UNION ALL SELECT 'absent-1' UNION ALL SELECT 'absent-2') "
+            "SELECT p.key AS key, l.val AS value "
+            "FROM probes p LEFT JOIN latest l ON p.key = l.key"
         ),
     }

@@ -1,0 +1,232 @@
+"""Bloom-gated key-value store — the reference's ``Store`` surface at
+Spark scale.
+
+The reference pairs its Bloom filter with a KV store behind a ``Store``
+interface (``/root/reference/storage.go:3-10``: open/Close/Get/Put;
+BoltDB ``boltdb.go:11-106`` and BadgerDB ``badgerdb.go:11-99`` impls) and
+uses the filter as a NEGATIVE-LOOKUP CACHE in front of ``Get``
+(``bloom.go:220-236``): a bloom miss means "definitely never Put", so the
+expensive store read is skipped entirely. This module is that surface
+re-expressed for a data platform — batch DataFrame Put/Get instead of
+single-key calls, a hash-bucketed parquet table instead of a B-tree/LSM
+file, and the same exactness contract:
+
+* **Get never lies**: bloom misses return not-found WITHOUT touching the
+  store (zero false negatives make that sound); bloom false positives
+  only cost a (bucket-pruned) read — the exact join filters them out.
+* **Put is an upsert**: later puts win per key. Each put writes one
+  epoch directory partitioned by ``bucket = pmod(xxhash64(key),
+  n_buckets)``; the committed-epoch watermark and the bloom persist
+  atomically AFTER the parquet lands, so a crash between the two leaves
+  an orphan dir that readers ignore (same commit-point discipline as the
+  streaming novelty store).
+* **Scale shape**: a Get over a batch of probe keys reads only the
+  bucket directories its bloom-maybe keys hash into (directory-level
+  partition pruning), joins on ``(bucket, key)``, and resolves the
+  latest epoch per key with a per-key max — the full key history is
+  never shuffled.
+
+At 10^12 keys, swap the monolithic bloom for the sharded variants this
+library already provides; the store layout is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sketch.base import MergeableSketch, sketch_from_bytes
+from ..sketch.bloom import BloomFilter
+from ..spark.aggregate import build_sketch
+from ..spark.probe import might_contain
+
+
+class BloomGatedKVStore:
+    """Open (or create) a bloom-gated KV store at ``path``.
+
+    ``factory`` builds the gate sketch on first use (default: a Bloom
+    sized for ``expected_keys``); it must be a membership sketch
+    (``contains_arrow``). ``n_buckets`` pins the on-disk layout on first
+    use — reopening with a different value fails loud (re-bucketing
+    requires a rewrite), exactly like the novelty store.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        expected_keys: int = 1_000_000,
+        err_rate: float = 0.001,
+        factory=None,
+    ):
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self.spark = spark
+        self.path = path
+        self.factory = factory or (
+            lambda: BloomFilter(expected_keys, err_rate, enforce_capacity=False)
+        )
+        os.makedirs(path, exist_ok=True)
+        self.n_buckets = self._pin(int(n_buckets))
+        self.sketch, self.last_epoch = self._load_state()
+
+    # -- layout pinning / state ------------------------------------------------
+    def _pin(self, n_buckets: int) -> int:
+        bpath = os.path.join(self.path, "buckets.json")
+        if os.path.exists(bpath):
+            with open(bpath) as f:
+                pinned = int(json.load(f)["n_buckets"])
+            if pinned != n_buckets:
+                raise ValueError(
+                    f"store at {self.path!r} was built with n_buckets="
+                    f"{pinned}; got {n_buckets} — re-bucketing requires a "
+                    "rewrite"
+                )
+            return pinned
+        tmp = bpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, bpath)
+        return n_buckets
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "state.bin")
+
+    def _load_state(self):
+        sp = self._state_path()
+        if not os.path.exists(sp):
+            return self.factory(), -1
+        with open(sp, "rb") as f:
+            blob = f.read()
+        hdr, payload = blob.split(b"\n", 1)
+        meta = json.loads(hdr.decode())
+        return sketch_from_bytes(payload), int(meta["epoch"])
+
+    def _save_state(self) -> None:
+        """The COMMIT POINT for a put: bloom + watermark land in one
+        atomic replace, strictly after the epoch's parquet."""
+        sp = self._state_path()
+        tmp = sp + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(json.dumps({"epoch": self.last_epoch}).encode())
+            f.write(b"\n")
+            f.write(self.sketch.to_bytes())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, sp)
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    @property
+    def _schema(self) -> str:
+        return "key string, value binary, bucket int"
+
+    # -- Put --------------------------------------------------------------------
+    def put(self, kv_df: DataFrame, key_col: str, val_col: str) -> int:
+        """Upsert a batch of (key, value) rows; returns the epoch id.
+
+        Keys cast to string, values to binary. Duplicate keys WITHIN one
+        batch are ambiguous (which value wins?) and fail loud — dedupe
+        upstream with your own rule; across batches, later puts win.
+        """
+        epoch = self.last_epoch + 1
+        kv = kv_df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(val_col).cast("binary").alias("value"),
+        ).where(F.col("key").isNotNull())
+        agg = kv.agg(
+            F.count("*").alias("n"), F.countDistinct("key").alias("d")
+        ).collect()[0]
+        if agg["n"] != agg["d"]:
+            raise ValueError(
+                f"put batch has {agg['n'] - agg['d']} duplicate key(s); "
+                "dedupe upstream (which value should win is your rule, "
+                "not the store's)"
+            )
+        kv = kv.withColumn("bucket", self._bucket(F.col("key")))
+        epoch_path = os.path.join(self.path, f"epoch={epoch}")
+        shutil.rmtree(epoch_path, ignore_errors=True)  # orphan from a crash
+        kv.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
+        committed = self.spark.read.schema(self._schema).parquet(epoch_path)
+        partial = build_sketch(committed, "key", self.factory)
+        self.sketch = self.sketch.merge(partial)
+        self.last_epoch = epoch
+        self._save_state()
+        return epoch
+
+    # -- Get --------------------------------------------------------------------
+    def _store_df(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Committed rows as (key, value, bucket, _epoch), bucket-pruned."""
+        paths = []
+        for d in sorted(os.listdir(self.path)):
+            if d.startswith("epoch="):
+                e = int(d.split("=", 1)[1])
+                if e <= self.last_epoch:
+                    paths.append((e, os.path.join(self.path, d)))
+        if not paths:
+            return None
+        parts = []
+        for e, p in paths:
+            d = self.spark.read.schema(self._schema).parquet(p)
+            if buckets is not None:
+                d = d.where(F.col("bucket").isin([int(b) for b in buckets]))
+            parts.append(d.withColumn("_epoch", F.lit(e)))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def get(self, keys_df: DataFrame, key_col: str, out_col: str = "value") -> DataFrame:
+        """Batch Get: ``keys_df`` plus a binary ``out_col`` (NULL = never
+        Put). Bloom-miss keys never touch the store (the reference's
+        lookup elision); maybe-keys read only their buckets' directories
+        and resolve latest-epoch-wins per key."""
+        keys = keys_df.withColumn("_key", F.col(key_col).cast("string"))
+        maybe = might_contain(self.spark, self.sketch, F.col("_key"))
+        misses = keys.where(~maybe | F.col("_key").isNull()).withColumn(
+            out_col, F.lit(None).cast("binary")
+        )
+        suspects = keys.where(maybe & F.col("_key").isNotNull()).withColumn(
+            "_bucket", self._bucket(F.col("_key"))
+        )
+        hit = [
+            r["_bucket"]
+            for r in suspects.select("_bucket").distinct().collect()
+        ]
+        store = self._store_df(buckets=hit) if hit else None
+        if store is None:
+            return misses.unionByName(
+                suspects.drop("_bucket").withColumn(
+                    out_col, F.lit(None).cast("binary")
+                )
+            ).drop("_key")
+        from pyspark.sql.window import Window
+
+        latest = (
+            store.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("bucket", "key").orderBy(
+                        F.desc("_epoch")
+                    )
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .select(
+                F.col("bucket").alias("_bucket"),
+                F.col("key").alias("_key"),
+                F.col("value").alias(out_col),
+            )
+        )
+        found = suspects.join(latest, ["_bucket", "_key"], "left").drop(
+            "_bucket"
+        )
+        return misses.unionByName(found).drop("_key")

@@ -167,3 +167,87 @@ def test_iceberg_mocked_catalog_read_with_schema_evolution(
     # the added column changes nothing for a consumer that selects its
     # own columns: bitwise-identical filter across snapshots
     assert (bf1.bits == bf2.bits).all() and bf1.count == bf2.count
+
+
+def test_bloom_gated_kv_store_roundtrip_upsert_restart(spark, tmp_path):
+    """The reference's Store surface (storage.go:3-10) at Spark scale:
+    put/get roundtrip, later puts win per key, bloom-miss keys return
+    not-found without reading the store, duplicate keys in one batch
+    fail loud, and a reopened store answers from disk."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kv")
+    kv = BloomGatedKVStore(spark, p, n_buckets=8, expected_keys=10_000)
+    df1 = spark.createDataFrame(
+        [(f"k{i}", f"v{i}".encode()) for i in range(200)], "k string, v binary"
+    )
+    assert kv.put(df1, "k", "v") == 0
+    # upsert: re-put half the keys with new values
+    df2 = spark.createDataFrame(
+        [(f"k{i}", f"NEW{i}".encode()) for i in range(0, 200, 2)],
+        "k string, v binary",
+    )
+    assert kv.put(df2, "k", "v") == 1
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 200, 50)]
+        + [("absent-1",), ("absent-2",)],
+        "k string",
+    )
+    got = {r["k"]: (bytes(r["value"]) if r["value"] is not None else None)
+           for r in kv.get(probes, "k").collect()}
+    assert got["k0"] == b"NEW0" and got["k50"] == b"NEW50"  # later put wins
+    assert got[f"k{150}"] == b"NEW150"
+    assert got["absent-1"] is None and got["absent-2"] is None
+    # odd keys keep their first value
+    odd = spark.createDataFrame([("k7",), ("k133",)], "k string")
+    godd = {r["k"]: bytes(r["value"]) for r in kv.get(odd, "k").collect()}
+    assert godd == {"k7": b"v7", "k133": b"v133"}
+    # duplicate keys within one batch: hard error
+    dup = spark.createDataFrame(
+        [("dk", b"a"), ("dk", b"b")], "k string, v binary"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        kv.put(dup, "k", "v")
+    # reopen from disk: state (bloom + watermark) revives
+    kv2 = BloomGatedKVStore(spark, p, n_buckets=8, expected_keys=10_000)
+    assert kv2.last_epoch == 1
+    g2 = {r["k"]: (bytes(r["value"]) if r["value"] is not None else None)
+          for r in kv2.get(probes, "k").collect()}
+    assert g2 == got
+    # layout pin: wrong n_buckets fails loud
+    with pytest.raises(ValueError, match="n_buckets"):
+        BloomGatedKVStore(spark, p, n_buckets=16)
+
+
+def test_bloom_gated_kv_get_prunes_to_probe_buckets(spark, tmp_path):
+    """The Get path reads ONLY the bucket directories the bloom-maybe
+    probe keys hash into — checked via input_file_name over the pruned
+    store read (the same directory-pruning gate as the novelty store)."""
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kv2")
+    kv = BloomGatedKVStore(spark, p, n_buckets=16, expected_keys=10_000)
+    df = spark.createDataFrame(
+        [(f"key-{i}", b"x") for i in range(2000)], "k string, v binary"
+    )
+    kv.put(df, "k", "v")
+    one = spark.createDataFrame([("key-7",)], "k string")
+    hit_bucket = one.select(
+        F.pmod(F.xxhash64(F.col("k").cast("string")), F.lit(16)).cast("int")
+    ).collect()[0][0]
+    store = kv._store_df(buckets=[hit_bucket])
+    files = {
+        r[0]
+        for r in store.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert files and all(f"bucket={hit_bucket}/" in f for f in files)
+    # and the end-to-end get still answers
+    got = kv.get(one, "k").collect()
+    assert bytes(got[0]["value"]) == b"x"
