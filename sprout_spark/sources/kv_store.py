@@ -156,33 +156,162 @@ class BloomGatedKVStore:
         shutil.rmtree(epoch_path, ignore_errors=True)  # orphan from a crash
         kv.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
         committed = self.spark.read.schema(self._schema).parquet(epoch_path)
-        partial = build_sketch(committed, "key", self.factory)
-        self.sketch = self.sketch.merge(partial)
+        self._fold_epoch(committed, epoch_path)
         self.last_epoch = epoch
         self._save_state()
         return epoch
 
+    def _fold_epoch(self, committed: DataFrame, epoch_path: str) -> None:
+        """Fold the epoch's keys into the gate sketch. Same dispatch as
+        the streaming novelty filter: fixed sketches keep partial-build +
+        merge; a ScalableBloomFilter gate FOLDS one fixed stage per
+        epoch, sized for the epoch's actual key count (parquet footers —
+        no extra scan) at the schedule's next ε. Stage-merging a fresh
+        SBF partial instead would OR every epoch's stage 0 into the
+        running stage 0 and drift the gate's FPR to ~E× budget after E
+        puts — the exact leak the novelty store fixed this round."""
+        from ..sketch.scalable_bloom import ScalableBloomFilter
+
+        if not isinstance(self.sketch, ScalableBloomFilter):
+            partial = build_sketch(committed, "key", self.factory)
+            self.sketch = self.sketch.merge(partial)
+            return
+        import glob
+
+        import pyarrow.parquet as pq
+
+        n_new = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(
+                os.path.join(epoch_path, "**", "*.parquet"), recursive=True
+            )
+        )
+        if n_new == 0:
+            return  # empty put: no stage, schedule doesn't advance
+        eps = self.sketch.next_stage_err()
+        stage = build_sketch(
+            committed, "key", lambda: BloomFilter(max(n_new, 11), eps)
+        )
+        self.sketch.fold_stage(stage)
+
     # -- Get --------------------------------------------------------------------
+    def _manifest(self) -> dict:
+        mpath = os.path.join(self.path, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                return json.load(f)
+        return {"compacted_upto": -1, "dir": None}
+
     def _store_df(self, buckets: list[int] | None = None) -> DataFrame | None:
-        """Committed rows as (key, value, bucket, _epoch), bucket-pruned."""
-        paths = []
+        """Committed rows as (key, value, bucket, _epoch), bucket-pruned:
+        the compacted base generation (if any) plus the epoch dirs newer
+        than it."""
+        man = self._manifest()
+        parts = []
+        if man["dir"] is not None:
+            base = self.spark.read.schema(self._schema + ", _epoch int").parquet(
+                os.path.join(self.path, man["dir"])
+            )
+            if buckets is not None:
+                base = base.where(
+                    F.col("bucket").isin([int(b) for b in buckets])
+                )
+            parts.append(base)
         for d in sorted(os.listdir(self.path)):
             if d.startswith("epoch="):
                 e = int(d.split("=", 1)[1])
-                if e <= self.last_epoch:
-                    paths.append((e, os.path.join(self.path, d)))
-        if not paths:
+                if man["compacted_upto"] < e <= self.last_epoch:
+                    df = self.spark.read.schema(self._schema).parquet(
+                        os.path.join(self.path, d)
+                    )
+                    if buckets is not None:
+                        df = df.where(
+                            F.col("bucket").isin([int(b) for b in buckets])
+                        )
+                    parts.append(df.withColumn("_epoch", F.lit(e)))
+        if not parts:
             return None
-        parts = []
-        for e, p in paths:
-            d = self.spark.read.schema(self._schema).parquet(p)
-            if buckets is not None:
-                d = d.where(F.col("bucket").isin([int(b) for b in buckets]))
-            parts.append(d.withColumn("_epoch", F.lit(e)))
         out = parts[0]
         for d in parts[1:]:
             out = out.unionByName(d)
         return out
+
+    @staticmethod
+    def _resolve_latest(store: DataFrame) -> DataFrame:
+        """Latest-epoch-wins per key: (key, value, bucket, _epoch)."""
+        from pyspark.sql.window import Window
+
+        return (
+            store.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("bucket", "key").orderBy(F.desc("_epoch"))
+                ),
+            )
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    def compact(self, n_files: int = 8) -> int:
+        """Offline maintenance: fold the committed epoch dirs into one
+        latest-wins base generation. Without it every Get unions one
+        frame per epoch — a store living through thousands of puts pays
+        epoch-count × file-open per read (the streaming small-files
+        problem; same cure as the novelty store's ``compact``). Returns
+        the base generation's row count (= live key count).
+
+        Crash-safe via the manifest swap: (1) the generation is fully
+        written under a name readers ignore, (2) manifest.json is
+        atomically replaced to point at it, (3) superseded epoch dirs
+        and stale generations are deleted. A crash after (1) leaves
+        readers on the epoch dirs; after (2) the base serves; a partial
+        (3) is harmless (swept next time). Resolved rows KEEP their
+        winning ``_epoch`` so later epochs still win over the base."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        man = self._manifest()
+        if man["compacted_upto"] >= self.last_epoch:
+            return sum(
+                pq.read_metadata(p).num_rows
+                for p in glob.glob(
+                    os.path.join(self.path, man["dir"] or "", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+        store = self._store_df()
+        if store is None:
+            return 0
+        gen = f"compact-{self.last_epoch}"
+        gen_path = os.path.join(self.path, gen)
+        # hash-repartition on bucket: each bucket lands wholly in one of
+        # the n_files tasks → ONE file per bucket dir, still prunable
+        self._resolve_latest(store).repartition(
+            n_files, "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(gen_path)
+        n = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(
+                os.path.join(gen_path, "**", "*.parquet"), recursive=True
+            )
+        )
+        mpath = os.path.join(self.path, "manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"compacted_upto": self.last_epoch, "dir": gen}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)  # the compaction commit point
+        for d in os.listdir(self.path):
+            folded = (
+                d.startswith("epoch=")
+                and int(d.split("=", 1)[1]) <= self.last_epoch
+            )
+            stale_gen = d.startswith("compact-") and d != gen
+            if folded or stale_gen:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return n
 
     def get(self, keys_df: DataFrame, key_col: str, out_col: str = "value") -> DataFrame:
         """Batch Get: ``keys_df`` plus a binary ``out_col`` (NULL = never
@@ -208,23 +337,10 @@ class BloomGatedKVStore:
                     out_col, F.lit(None).cast("binary")
                 )
             ).drop("_key")
-        from pyspark.sql.window import Window
-
-        latest = (
-            store.withColumn(
-                "_rk",
-                F.row_number().over(
-                    Window.partitionBy("bucket", "key").orderBy(
-                        F.desc("_epoch")
-                    )
-                ),
-            )
-            .where(F.col("_rk") == 1)
-            .select(
-                F.col("bucket").alias("_bucket"),
-                F.col("key").alias("_key"),
-                F.col("value").alias(out_col),
-            )
+        latest = self._resolve_latest(store).select(
+            F.col("bucket").alias("_bucket"),
+            F.col("key").alias("_key"),
+            F.col("value").alias(out_col),
         )
         found = suspects.join(latest, ["_bucket", "_key"], "left").drop(
             "_bucket"

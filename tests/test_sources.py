@@ -251,3 +251,105 @@ def test_bloom_gated_kv_get_prunes_to_probe_buckets(spark, tmp_path):
     # and the end-to-end get still answers
     got = kv.get(one, "k").collect()
     assert bytes(got[0]["value"]) == b"x"
+
+
+def test_bloom_gated_kv_store_sbf_gate_folds_stages(spark, tmp_path):
+    """An SBF gate (unknown key cardinality) FOLDS one fixed stage per
+    put epoch instead of stage-merging fresh SBF partials — no overload
+    warning ever, and the compound FPR tracks the growth schedule
+    (prob() <= configured err for a strict SBF)."""
+    import warnings
+
+    from sprout_spark.sketch.scalable_bloom import ScalableBloomFilter
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kv_sbf")
+    factory = lambda: ScalableBloomFilter(  # noqa: E731
+        err_rate=0.01, initial_capacity=64, strict=True
+    )
+    with warnings.catch_warnings():
+        # stage-overload warns as UserWarning; escalate just that (a
+        # blanket "error" also escalates py4j-socket ResourceWarnings
+        # raised during GC inside this block — unrelated noise)
+        warnings.simplefilter("error", UserWarning)
+        kv = BloomGatedKVStore(spark, p, n_buckets=8, factory=factory)
+        for e in range(3):  # each put far exceeds initial_capacity
+            df = spark.createDataFrame(
+                [(f"e{e}-k{i}", b"v") for i in range(500)],
+                "k string, v binary",
+            )
+            kv.put(df, "k", "v")
+    assert len(kv.sketch.stages) == 3  # one folded stage per epoch
+    assert kv.sketch.prob() <= 0.01
+    for s in kv.sketch.stages:
+        assert s.count <= s.capacity  # no stage overloaded
+    # zero FN through the gate + store
+    probes = spark.createDataFrame(
+        [(f"e1-k{i}",) for i in range(0, 500, 100)] + [("nope",)], "k string"
+    )
+    got = {r["k"]: r["value"] for r in kv.get(probes, "k").collect()}
+    assert got["nope"] is None
+    assert all(got[f"e1-k{i}"] == bytearray(b"v") for i in range(0, 500, 100))
+    # restart revives the folded-stage SBF through the wire format
+    kv2 = BloomGatedKVStore(spark, p, n_buckets=8, factory=factory)
+    assert len(kv2.sketch.stages) == 3 and kv2.sketch.prob() <= 0.01
+
+
+def test_bloom_gated_kv_store_compaction(spark, tmp_path):
+    """compact() folds the epoch dirs into one latest-wins base
+    generation: answers are unchanged, the store reads ONE file per
+    bucket dir afterwards, and later puts still win over the base."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kvc")
+    kv = BloomGatedKVStore(spark, p, n_buckets=4, expected_keys=10_000)
+    for e in range(3):
+        df = spark.createDataFrame(
+            [(f"k{i}", f"e{e}v{i}".encode()) for i in range(e, 300, 3)],
+            "k string, v binary",
+        )
+        kv.put(df, "k", "v")
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 300, 17)] + [("ghost",)], "k string"
+    )
+    before = {
+        r["k"]: (bytes(r["value"]) if r["value"] is not None else None)
+        for r in kv.get(probes, "k").collect()
+    }
+    n = kv.compact(n_files=4)
+    assert n == 300  # 3 disjoint-100-key epochs, all live
+    assert not glob.glob(os.path.join(p, "epoch=*"))  # epochs swept
+    after = {
+        r["k"]: (bytes(r["value"]) if r["value"] is not None else None)
+        for r in kv.get(probes, "k").collect()
+    }
+    assert after == before
+    # one file per bucket dir (no small-file regrowth)
+    for b in range(4):
+        files = glob.glob(os.path.join(p, "compact-2", f"bucket={b}", "*.parquet"))
+        assert len(files) == 1
+    # a put AFTER compaction wins over the base generation
+    kv.put(
+        spark.createDataFrame([("k0", b"post")], "k string, v binary"),
+        "k",
+        "v",
+    )
+    got = kv.get(
+        spark.createDataFrame([("k0",)], "k string"), "k"
+    ).collect()
+    assert bytes(got[0]["value"]) == b"post"
+    # second compaction folds base + new epoch; idempotent re-run
+    assert kv.compact(n_files=4) == 300
+    assert kv.compact(n_files=4) == 300
+    # reopen sees the compacted layout
+    kv2 = BloomGatedKVStore(spark, p, n_buckets=4, expected_keys=10_000)
+    g2 = kv2.get(
+        spark.createDataFrame([("k0",), ("ghost",)], "k string"), "k"
+    ).collect()
+    vals = {r["k"]: (bytes(r["value"]) if r["value"] is not None else None) for r in g2}
+    assert vals == {"k0": b"post", "ghost": None}
