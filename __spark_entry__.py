@@ -489,6 +489,35 @@ def q_mg_heavy_hitter_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_weighted_volume_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED Misra-Gries heavy hitters: languages holding ≥20% of the
+    corpus by CHARACTER volume (each doc adds its length, not 1 — the
+    byte-budget question a corpus report actually asks). Same shape as
+    the unweighted query: the sketch proposes candidates (no FN possible:
+    any key with ≥ total/k weight survives, and 0.2 > 1/64), one exact
+    semi-join confirms — the result is exact, so plain SQL matches."""
+    from sprout_spark.sketch import MisraGries
+    from sprout_spark.spark.aggregate import build_weighted_sketch
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", F.length("text").cast("long").alias("w"))
+    )
+    mg = build_weighted_sketch(docs, "lang", "w", lambda: MisraGries(k=64))
+    cands = mg.heavy_hitters(0.2)
+    if not cands:
+        return spark.createDataFrame([], "lang string")
+    cand_df = spark.createDataFrame([(v,) for v, _, _ in cands], "lang string")
+    return (
+        docs.join(F.broadcast(cand_df), "lang", "left_semi")
+        .groupBy("lang")
+        .agg(F.sum("w").alias("vol"))
+        .where(F.col("vol") >= 0.2 * mg.total)
+        .select("lang")
+    )
+
+
 def _quantile_bound_df(spark, vals_df, col, sketch, rank_tol):
     """(q, ok) rows: sketch quantile's exact rank within rank_tol of q.
 
@@ -1293,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_resemblance": q_bottomk_resemblance,
         "cms_heavy_hitter_tools": q_cms_heavy_hitter_tools,
         "mg_heavy_hitter_tools": q_mg_heavy_hitter_tools,
+        "mg_weighted_volume_langs": q_mg_weighted_volume_langs,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
@@ -1577,6 +1607,13 @@ def oracle_sql() -> dict[str, str]:
         "mg_heavy_hitter_tools": (
             "SELECT event_type FROM events GROUP BY event_type "
             "HAVING count(*) >= 0.05 * (SELECT count(*) FROM events)"
+        ),
+        "mg_weighted_volume_langs": (
+            "SELECT lang FROM documents "
+            "WHERE text IS NOT NULL AND lang IS NOT NULL "
+            "GROUP BY lang HAVING sum(length(text)) >= 0.2 * "
+            "(SELECT sum(length(text)) FROM documents "
+            "WHERE text IS NOT NULL AND lang IS NOT NULL)"
         ),
         "tdigest_value_quantiles": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
