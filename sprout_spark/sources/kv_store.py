@@ -318,31 +318,44 @@ class BloomGatedKVStore:
         Put). Bloom-miss keys never touch the store (the reference's
         lookup elision); maybe-keys read only their buckets' directories
         and resolve latest-epoch-wins per key."""
-        keys = keys_df.withColumn("_key", F.col(key_col).cast("string"))
-        maybe = might_contain(self.spark, self.sketch, F.col("_key"))
-        misses = keys.where(~maybe | F.col("_key").isNull()).withColumn(
+        if out_col in keys_df.columns:
+            raise ValueError(
+                f"out_col {out_col!r} already exists in keys_df — it "
+                "would be silently overwritten; pass a different name"
+            )
+
+        # collision-free temp names: an input column literally named
+        # "_key"/"_bucket" would otherwise be clobbered and dropped
+        def _tmp(base: str) -> str:
+            name = base
+            while name in keys_df.columns:
+                name += "_"
+            return name
+
+        c_key, c_bkt = _tmp("_key"), _tmp("_bucket")
+        keys = keys_df.withColumn(c_key, F.col(key_col).cast("string"))
+        maybe = might_contain(self.spark, self.sketch, F.col(c_key))
+        misses = keys.where(~maybe | F.col(c_key).isNull()).withColumn(
             out_col, F.lit(None).cast("binary")
         )
-        suspects = keys.where(maybe & F.col("_key").isNotNull()).withColumn(
-            "_bucket", self._bucket(F.col("_key"))
+        suspects = keys.where(maybe & F.col(c_key).isNotNull()).withColumn(
+            c_bkt, self._bucket(F.col(c_key))
         )
         hit = [
-            r["_bucket"]
-            for r in suspects.select("_bucket").distinct().collect()
+            r[c_bkt]
+            for r in suspects.select(c_bkt).distinct().collect()
         ]
         store = self._store_df(buckets=hit) if hit else None
         if store is None:
             return misses.unionByName(
-                suspects.drop("_bucket").withColumn(
+                suspects.drop(c_bkt).withColumn(
                     out_col, F.lit(None).cast("binary")
                 )
-            ).drop("_key")
+            ).drop(c_key)
         latest = self._resolve_latest(store).select(
-            F.col("bucket").alias("_bucket"),
-            F.col("key").alias("_key"),
+            F.col("bucket").alias(c_bkt),
+            F.col("key").alias(c_key),
             F.col("value").alias(out_col),
         )
-        found = suspects.join(latest, ["_bucket", "_key"], "left").drop(
-            "_bucket"
-        )
-        return misses.unionByName(found).drop("_key")
+        found = suspects.join(latest, [c_bkt, c_key], "left").drop(c_bkt)
+        return misses.unionByName(found).drop(c_key)

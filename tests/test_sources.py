@@ -353,3 +353,26 @@ def test_bloom_gated_kv_store_compaction(spark, tmp_path):
     ).collect()
     vals = {r["k"]: (bytes(r["value"]) if r["value"] is not None else None) for r in g2}
     assert vals == {"k0": b"post", "ghost": None}
+
+
+def test_bloom_gated_kv_get_name_collisions(spark, tmp_path):
+    """Caller columns literally named _key/_bucket survive a Get, and an
+    out_col that already exists fails loud instead of clobbering."""
+    import pytest
+
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kvn")
+    kv = BloomGatedKVStore(spark, p, n_buckets=4, expected_keys=1000)
+    kv.put(
+        spark.createDataFrame([("a", b"1")], "k string, v binary"), "k", "v"
+    )
+    probes = spark.createDataFrame(
+        [("a", "keep-me", 7, b"mine")],
+        "k string, _key string, _bucket int, value binary",
+    )
+    with pytest.raises(ValueError, match="out_col"):
+        kv.get(probes, "k")  # default out_col="value" collides
+    got = kv.get(probes, "k", out_col="fetched").collect()[0]
+    assert got["_key"] == "keep-me" and got["_bucket"] == 7
+    assert bytes(got["value"]) == b"mine" and bytes(got["fetched"]) == b"1"
