@@ -153,3 +153,82 @@ def test_cms_wire_roundtrip_any_fill(keys, eps):
     assert back.total == c.total
     if keys:
         assert (back.estimate_values(keys) == c.estimate_values(keys)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_weighted_kll_rank_bounds_any_split(data, n_parts):
+    """Weighted KLL (round-5 binary-decomposition path) under ARBITRARY
+    values/weights and any partition split: total weight exact, and
+    rank(x) tracks the exact WEIGHTED rank within the k=200 tolerance at
+    every distinct data value. rank() is the interpolation-free surface
+    (quantile() midpoint-interpolates between retained items, which is
+    meaningless to bound on two-point discrete streams)."""
+    from sprout_spark.sketch import KLL
+
+    vals = np.array([v for v, _ in data], dtype=np.float64)
+    w = np.array([x for _, x in data], dtype=np.int64)
+    parts = np.array_split(np.arange(len(vals)), n_parts)
+    merged = KLL(200)
+    for idx in parts:
+        part = KLL(200)
+        if len(idx):
+            part.update_array(vals[idx], w[idx])
+        merged.merge(part)
+    total = int(w.sum())
+    assert merged.n == total
+    if total == 0:
+        return
+    ww = w.astype(np.float64)
+    probes = np.unique(vals[w > 0])[:64]
+    est = np.atleast_1d(merged.rank(probes))
+    for x, r in zip(probes, est):
+        exact = ww[vals <= x].sum() / total
+        assert abs(r - exact) <= 0.025, (x, r, exact)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    epoch_sizes=st.lists(
+        st.integers(min_value=1, max_value=300), min_size=1, max_size=6
+    )
+)
+def test_sbf_fold_schedule_any_epochs(epoch_sizes):
+    """fold_stage under ANY epoch-size sequence: every folded stage is
+    sized for its epoch's actual key count at the schedule's ε, so no
+    stage ever exceeds capacity, the strict compound FPR stays ≤ the
+    configured bound, zero false negatives across all epochs, and the
+    wire format revives the folded filter bit-for-bit."""
+    from sprout_spark.sketch import BloomFilter
+    from sprout_spark.sketch.base import sketch_from_bytes
+    from sprout_spark.sketch.scalable_bloom import ScalableBloomFilter
+
+    err = 0.01
+    sbf = ScalableBloomFilter(err_rate=err, initial_capacity=32, strict=True)
+    all_keys = []
+    for e, n in enumerate(epoch_sizes):
+        keys = [f"e{e}-k{i}".encode() for i in range(n)]
+        stage = BloomFilter(max(n, 11), sbf.next_stage_err())
+        stage.update_values(keys)
+        sbf.fold_stage(stage)
+        all_keys.extend(keys)
+    assert sbf.prob() <= err + 1e-12
+    for s in sbf.stages:
+        assert s.count <= s.capacity
+    assert all(sbf.contains_values(all_keys))
+    revived = sketch_from_bytes(sbf.to_bytes())
+    assert revived.prob() == sbf.prob()
+    assert all(revived.contains_values(all_keys))
