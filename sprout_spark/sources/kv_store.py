@@ -26,8 +26,11 @@ file, and the same exactness contract:
   latest epoch per key with a per-key max — the full key history is
   never shuffled.
 
-At 10^12 keys, swap the monolithic bloom for the sharded variants this
-library already provides; the store layout is unchanged.
+At 10^12 keys a broadcastable gate stops existing (a 0.1%-FPR Bloom over
+10^12 keys is ~1.8 TB), so the store also offers ``gate="sharded"``: one
+strict ScalableBloomFilter per hash-shard, persisted as a parquet table
+and probed through the cogrouped shard join — nothing broadcast, filter
+traffic equals filter size, same exactness contract, same store layout.
 """
 
 from __future__ import annotations
@@ -48,11 +51,26 @@ from ..spark.probe import might_contain
 class BloomGatedKVStore:
     """Open (or create) a bloom-gated KV store at ``path``.
 
-    ``factory`` builds the gate sketch on first use (default: a Bloom
-    sized for ``expected_keys``); it must be a membership sketch
-    (``contains_arrow``). ``n_buckets`` pins the on-disk layout on first
-    use — reopening with a different value fails loud (re-bucketing
-    requires a rewrite), exactly like the novelty store.
+    ``gate`` picks the negative-cache design and is pinned to the store
+    on first use:
+
+    * ``"broadcast"`` (default) — one driver-held membership sketch
+      (``factory``; default a Bloom sized for ``expected_keys``),
+      broadcast to probes. Right up to ~10^9 keys (MBs of filter).
+    * ``"sharded"`` — one strict ScalableBloomFilter per hash-shard,
+      persisted as a parquet table and probed via the cogrouped shard
+      join (``sharded_might_contain``) — nothing is ever broadcast, so
+      the gate scales to 10^12 keys (TBs of filter) with filter traffic
+      equal to filter size. Each put FOLDS one fixed stage per shard
+      inside a single cogrouped Arrow kernel, sized for that shard's
+      batch slice at the shard's own schedule ε, so the per-shard
+      compound FPR stays ≤ ``err_rate`` forever (``strict=True``), with
+      no driver-side sketch and no stage overload. Requires
+      ``gate_shards`` on first open.
+
+    ``n_buckets`` pins the on-disk layout on first use — reopening with
+    a different value (or a different gate kind) fails loud, exactly
+    like the novelty store.
     """
 
     def __init__(
@@ -63,38 +81,73 @@ class BloomGatedKVStore:
         expected_keys: int = 1_000_000,
         err_rate: float = 0.001,
         factory=None,
+        gate: str = "broadcast",
+        gate_shards: int | None = None,
     ):
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if gate not in ("broadcast", "sharded"):
+            raise ValueError(f"gate must be 'broadcast' or 'sharded', got {gate!r}")
+        if gate == "sharded":
+            if factory is not None:
+                raise ValueError(
+                    "gate='sharded' builds its own per-shard strict "
+                    "ScalableBloomFilters; factory is not configurable"
+                )
+            if gate_shards is None or gate_shards < 1:
+                raise ValueError("gate='sharded' requires gate_shards >= 1")
         self.spark = spark
         self.path = path
+        self.err_rate = float(err_rate)
         self.factory = factory or (
             lambda: BloomFilter(expected_keys, err_rate, enforce_capacity=False)
         )
         os.makedirs(path, exist_ok=True)
-        self.n_buckets = self._pin(int(n_buckets))
-        self.sketch, self.last_epoch = self._load_state()
+        pin = self._pin(int(n_buckets), gate, gate_shards)
+        self.n_buckets = pin["n_buckets"]
+        self.gate = pin["gate"]
+        self.gate_shards = pin.get("gate_shards")
+        self.sketch, self.last_epoch, self.gate_dir = self._load_state()
 
     # -- layout pinning / state ------------------------------------------------
-    def _pin(self, n_buckets: int) -> int:
+    def _pin(self, n_buckets: int, gate: str, gate_shards: int | None) -> dict:
+        want = {"n_buckets": n_buckets, "gate": gate}
+        if gate == "sharded":
+            want["gate_shards"] = int(gate_shards)
         bpath = os.path.join(self.path, "buckets.json")
         if os.path.exists(bpath):
             with open(bpath) as f:
-                pinned = int(json.load(f)["n_buckets"])
-            if pinned != n_buckets:
+                pinned = json.load(f)
+            pinned.setdefault("gate", "broadcast")  # pre-sharded layout
+            if int(pinned["n_buckets"]) != n_buckets:
                 raise ValueError(
                     f"store at {self.path!r} was built with n_buckets="
-                    f"{pinned}; got {n_buckets} — re-bucketing requires a "
-                    "rewrite"
+                    f"{pinned['n_buckets']}; got {n_buckets} — re-bucketing "
+                    "requires a rewrite"
+                )
+            if pinned["gate"] != gate or (
+                gate == "sharded"
+                and int(pinned["gate_shards"]) != int(gate_shards)
+            ):
+                raise ValueError(
+                    f"store at {self.path!r} was built with gate="
+                    f"{pinned['gate']!r}"
+                    + (
+                        f" gate_shards={pinned.get('gate_shards')}"
+                        if pinned["gate"] == "sharded"
+                        else ""
+                    )
+                    + f"; got gate={gate!r} gate_shards={gate_shards} — "
+                    "re-gating requires a rewrite"
                 )
             return pinned
         tmp = bpath + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n_buckets": n_buckets}, f)
+            json.dump(want, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, bpath)
-        return n_buckets
+        return want
 
     def _state_path(self) -> str:
         return os.path.join(self.path, "state.bin")
@@ -102,22 +155,33 @@ class BloomGatedKVStore:
     def _load_state(self):
         sp = self._state_path()
         if not os.path.exists(sp):
-            return self.factory(), -1
+            return (
+                self.factory() if self.gate == "broadcast" else None,
+                -1,
+                None,
+            )
         with open(sp, "rb") as f:
             blob = f.read()
         hdr, payload = blob.split(b"\n", 1)
         meta = json.loads(hdr.decode())
-        return sketch_from_bytes(payload), int(meta["epoch"])
+        if self.gate == "sharded":
+            return None, int(meta["epoch"]), meta["gate_dir"]
+        return sketch_from_bytes(payload), int(meta["epoch"]), None
 
     def _save_state(self) -> None:
-        """The COMMIT POINT for a put: bloom + watermark land in one
-        atomic replace, strictly after the epoch's parquet."""
+        """The COMMIT POINT for a put: gate + watermark land in one
+        atomic replace, strictly after the epoch's parquet (and, for a
+        sharded gate, strictly after the new gate table's parquet)."""
         sp = self._state_path()
         tmp = sp + ".tmp"
+        meta: dict = {"epoch": self.last_epoch}
+        if self.gate == "sharded":
+            meta["gate_dir"] = self.gate_dir
         with open(tmp, "wb") as f:
-            f.write(json.dumps({"epoch": self.last_epoch}).encode())
+            f.write(json.dumps(meta).encode())
             f.write(b"\n")
-            f.write(self.sketch.to_bytes())
+            if self.gate == "broadcast":
+                f.write(self.sketch.to_bytes())
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, sp)
@@ -156,9 +220,20 @@ class BloomGatedKVStore:
         shutil.rmtree(epoch_path, ignore_errors=True)  # orphan from a crash
         kv.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
         committed = self.spark.read.schema(self._schema).parquet(epoch_path)
-        self._fold_epoch(committed, epoch_path)
+        if self.gate == "sharded":
+            self._fold_epoch_sharded(committed, epoch)
+        else:
+            self._fold_epoch(committed, epoch_path)
         self.last_epoch = epoch
         self._save_state()
+        if self.gate == "sharded":
+            # sweep superseded gate generations (post-commit; a crash
+            # before this re-sweeps on the next put)
+            for d in os.listdir(self.path):
+                if d.startswith("gate-") and d != self.gate_dir:
+                    shutil.rmtree(
+                        os.path.join(self.path, d), ignore_errors=True
+                    )
         return epoch
 
     def _fold_epoch(self, committed: DataFrame, epoch_path: str) -> None:
@@ -193,6 +268,75 @@ class BloomGatedKVStore:
             committed, "key", lambda: BloomFilter(max(n_new, 11), eps)
         )
         self.sketch.fold_stage(stage)
+
+    def _gate_df(self) -> DataFrame | None:
+        """The committed sharded gate table (shard, sketch, rows,
+        n_shards), or None before the first put."""
+        if self.gate_dir is None:
+            return None
+        from ..spark.sharded import SHARD_ROW_SCHEMA
+
+        return self.spark.read.schema(SHARD_ROW_SCHEMA).parquet(
+            os.path.join(self.path, self.gate_dir)
+        )
+
+    def _fold_epoch_sharded(self, committed: DataFrame, epoch: int) -> None:
+        """Fold the epoch's keys into the per-shard SBF gate table in ONE
+        cogrouped pass: each task gets one shard's current SBF row plus
+        that shard's slice of the batch, builds a fixed Bloom sized for
+        the slice at the shard's own ``next_stage_err()``, and folds it
+        as the SBF's next schedule stage — the distributed form of
+        ``_fold_epoch``, with no driver-side sketch and no broadcast.
+        Shards untouched by the batch pass through unchanged (cogroup
+        yields the union of group keys). The new gate generation is
+        fully written BEFORE ``_save_state`` commits it."""
+        import pyarrow as pa
+
+        from ..sketch.scalable_bloom import ScalableBloomFilter
+        from ..spark.sharded import SHARD_ROW_SCHEMA, shard_id
+
+        err, n_shards = self.err_rate, self.gate_shards
+        keys = committed.select(
+            F.col("key").alias("k"), shard_id(F.col("key"), n_shards).alias("shard")
+        )
+        gate = self._gate_df()
+        if gate is None:
+            gate = self.spark.createDataFrame([], SHARD_ROW_SCHEMA)
+
+        def fold(left: pa.Table, right: pa.Table) -> pa.Table:
+            if right.num_rows:
+                sbf = sketch_from_bytes(right.column("sketch")[0].as_py())
+                prev = right.column("rows")[0].as_py()
+                shard = right.column("shard")[0].as_py()
+            else:
+                sbf = ScalableBloomFilter(
+                    err_rate=err, initial_capacity=256, strict=True
+                )
+                prev = 0
+                shard = left.column("shard")[0].as_py()
+            arr = left.column("k")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = len(arr)
+            if n:
+                stage = BloomFilter(max(n, 11), sbf.next_stage_err())
+                stage.update_arrow(arr)
+                sbf.fold_stage(stage)
+            return pa.table(
+                {
+                    "shard": pa.array([shard], pa.int64()),
+                    "sketch": pa.array([sbf.to_bytes()], pa.binary()),
+                    "rows": pa.array([prev + n], pa.int64()),
+                    "n_shards": pa.array([n_shards], pa.int32()),
+                }
+            )
+
+        folded = keys.groupBy("shard").cogroup(gate.groupBy("shard")).applyInArrow(
+            fold, SHARD_ROW_SCHEMA
+        )
+        gen = f"gate-{epoch}"
+        folded.write.mode("overwrite").parquet(os.path.join(self.path, gen))
+        self.gate_dir = gen
 
     # -- Get --------------------------------------------------------------------
     def _manifest(self) -> dict:
@@ -334,13 +478,41 @@ class BloomGatedKVStore:
 
         c_key, c_bkt = _tmp("_key"), _tmp("_bucket")
         keys = keys_df.withColumn(c_key, F.col(key_col).cast("string"))
-        maybe = might_contain(self.spark, self.sketch, F.col(c_key))
-        misses = keys.where(~maybe | F.col(c_key).isNull()).withColumn(
-            out_col, F.lit(None).cast("binary")
-        )
-        suspects = keys.where(maybe & F.col(c_key).isNotNull()).withColumn(
-            c_bkt, self._bucket(F.col(c_key))
-        )
+        null_val = F.lit(None).cast("binary")
+        if self.gate == "sharded":
+            from ..spark.sharded import sharded_might_contain
+
+            nulls = keys.where(F.col(c_key).isNull()).withColumn(
+                out_col, null_val
+            )
+            nonnull = keys.where(F.col(c_key).isNotNull())
+            gate = self._gate_df()
+            if gate is None:  # nothing was ever put
+                return nulls.unionByName(
+                    nonnull.withColumn(out_col, null_val)
+                ).drop(c_key)
+            c_maybe = _tmp("_maybe")
+            probed = sharded_might_contain(
+                nonnull, c_key, gate, out_col=c_maybe
+            )
+            misses = nulls.unionByName(
+                probed.where(~F.col(c_maybe))
+                .drop(c_maybe)
+                .withColumn(out_col, null_val)
+            )
+            suspects = (
+                probed.where(F.col(c_maybe))
+                .drop(c_maybe)
+                .withColumn(c_bkt, self._bucket(F.col(c_key)))
+            )
+        else:
+            maybe = might_contain(self.spark, self.sketch, F.col(c_key))
+            misses = keys.where(~maybe | F.col(c_key).isNull()).withColumn(
+                out_col, null_val
+            )
+            suspects = keys.where(maybe & F.col(c_key).isNotNull()).withColumn(
+                c_bkt, self._bucket(F.col(c_key))
+            )
         hit = [
             r[c_bkt]
             for r in suspects.select(c_bkt).distinct().collect()

@@ -376,3 +376,85 @@ def test_bloom_gated_kv_get_name_collisions(spark, tmp_path):
     got = kv.get(probes, "k", out_col="fetched").collect()[0]
     assert got["_key"] == "keep-me" and got["_bucket"] == 7
     assert bytes(got["value"]) == b"mine" and bytes(got["fetched"]) == b"1"
+
+
+def test_bloom_gated_kv_store_sharded_gate(spark, tmp_path):
+    """gate='sharded': per-shard strict SBFs in a parquet table probed
+    via the cogrouped shard join — no BroadcastExchange anywhere in the
+    probe plan, zero false negatives, per-shard compound FPR within
+    budget, upsert + restart + compaction all work, and the layout pin
+    refuses a re-open under a different gate kind."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sprout_spark.sketch.base import sketch_from_bytes
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kvsh")
+    with pytest.raises(ValueError, match="gate_shards"):
+        BloomGatedKVStore(spark, p, gate="sharded")  # shards required
+    kv = BloomGatedKVStore(
+        spark, p, n_buckets=8, err_rate=0.01, gate="sharded", gate_shards=4
+    )
+    for e in range(3):
+        df = spark.createDataFrame(
+            [(f"k{i}", f"e{e}v{i}".encode()) for i in range(e * 100, e * 100 + 200)],
+            "k string, v binary",
+        )
+        kv.put(df, "k", "v")
+    # keys 0..399 live; overlap region upserted to the later epoch
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 400, 37)] + [("nope-1",), ("nope-2",)],
+        "k string",
+    )
+    got = {
+        r["k"]: (bytes(r["value"]) if r["value"] is not None else None)
+        for r in kv.get(probes, "k").collect()
+    }
+    assert got["nope-1"] is None and got["nope-2"] is None
+    # exact upsert law: the winning epoch for key i is the LAST e with
+    # e*100 <= i < e*100+200
+    for i in range(0, 400, 37):
+        wins = max(e for e in range(3) if e * 100 <= i < e * 100 + 200)
+        assert got[f"k{i}"] == f"e{wins}v{i}".encode(), (i, got[f"k{i}"])
+    # the GATE probe never broadcasts its payload (the cogrouped shard
+    # join); the downstream exact value join is free to broadcast the
+    # small pruned STORE slice — that's Catalyst's call, not the gate's
+    from sprout_spark.spark.sharded import sharded_might_contain
+
+    probe_plan = (
+        sharded_might_contain(probes, "k", kv._gate_df(), out_col="_m")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" not in probe_plan
+    assert "FlatMapCoGroupsInArrow" in probe_plan or "CoGroup" in probe_plan
+    # per-shard compound FPR stays within budget (strict SBF schedule)
+    for r in kv._gate_df().collect():
+        sbf = sketch_from_bytes(bytes(r["sketch"]))
+        assert sbf.prob() <= 0.01 + 1e-12
+        for s in sbf.stages:
+            assert s.count <= s.capacity
+    # restart revives the gate table reference
+    kv2 = BloomGatedKVStore(
+        spark, p, n_buckets=8, err_rate=0.01, gate="sharded", gate_shards=4
+    )
+    assert kv2.last_epoch == 2 and kv2.gate_dir == "gate-2"
+    g2 = {
+        r["k"]: (bytes(r["value"]) if r["value"] is not None else None)
+        for r in kv2.get(probes, "k").collect()
+    }
+    assert g2 == got
+    # gate-kind / modulus pin
+    with pytest.raises(ValueError, match="re-gating"):
+        BloomGatedKVStore(spark, p, n_buckets=8)
+    with pytest.raises(ValueError, match="re-gating"):
+        BloomGatedKVStore(spark, p, n_buckets=8, gate="sharded", gate_shards=8)
+    # store compaction composes with the sharded gate
+    assert kv2.compact(n_files=4) == 400
+    g3 = {
+        r["k"]: (bytes(r["value"]) if r["value"] is not None else None)
+        for r in kv2.get(probes, "k").collect()
+    }
+    assert g3 == got
