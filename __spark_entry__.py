@@ -265,26 +265,36 @@ def q_streaming_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, keyed_schema)
 
 
-def q_kv_store_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kv_store_get(
+    spark: SparkSession, sf_dir: str, gate: str = "broadcast"
+) -> DataFrame:
     """Bloom-gated KV store (the reference's Store surface, storage.go:3-10
     + the bloom-gated Get of bloom.go:220-236, re-expressed as a bucketed
     parquet table with batch Put/Get): epoch 0 puts every order's status,
     epoch 1 upserts the urgent orders with 'U'; a probe batch (a key
     slice plus two never-put keys) must see latest-epoch-wins values and
     NULL for the absent keys — the bloom elides the store read for those
-    entirely. Plain SQL reproduces the upsert semantics exactly."""
+    entirely. Plain SQL reproduces the upsert semantics exactly.
+    ``gate="sharded"`` runs the identical contract through the
+    beyond-broadcast per-shard-SBF gate (cogrouped probe, per-shard
+    epoch folds) — same oracle, different engine path."""
     import os
     import tempfile
 
     from sprout_spark.sources.kv_store import BloomGatedKVStore
 
     orders = load(spark, sf_dir, "orders")
+    opts = (
+        {"expected_keys": 2 * orders.count()}
+        if gate == "broadcast"
+        else {"gate": "sharded", "gate_shards": 8}
+    )
     with tempfile.TemporaryDirectory() as td:
         kv = BloomGatedKVStore(
             spark,
             os.path.join(td, "kv"),
             n_buckets=16,
-            expected_keys=2 * orders.count(),
+            **opts,
         )
         kv.put(
             orders.select(
@@ -1360,7 +1370,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
         "kv_store_get": q_kv_store_get,
+        "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
+            spark, sf_dir, gate="sharded"
+        ),
     }
+
+
+_KV_GET_SQL = (
+    "WITH put1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, "
+    "CAST(o_orderstatus AS VARCHAR) AS val FROM orders), "
+    "put2 AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, "
+    "'U' AS val FROM orders WHERE o_orderpriority = '1-URGENT'), "
+    "latest AS (SELECT key, val FROM put2 UNION ALL "
+    "SELECT key, val FROM put1 "
+    "WHERE key NOT IN (SELECT key FROM put2)), "
+    "probes AS (SELECT CAST(o_orderkey AS VARCHAR) AS key "
+    "FROM orders WHERE o_orderkey % 97 = 0 "
+    "UNION ALL SELECT 'absent-1' UNION ALL SELECT 'absent-2') "
+    "SELECT p.key AS key, l.val AS value "
+    "FROM probes p LEFT JOIN latest l ON p.key = l.key"
+)
 
 
 _JACCARD_PAIRS_SQL = """
@@ -1869,21 +1898,11 @@ FROM (
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 25"
         ),
-        "kv_store_get": (
-            # two epochs of puts = latest-wins upsert; never-put probe
-            # keys come back NULL (on the Spark side those never touch
-            # the store at all — the bloom gate elides the read)
-            "WITH put1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, "
-            "CAST(o_orderstatus AS VARCHAR) AS val FROM orders), "
-            "put2 AS (SELECT CAST(o_orderkey AS VARCHAR) AS key, "
-            "'U' AS val FROM orders WHERE o_orderpriority = '1-URGENT'), "
-            "latest AS (SELECT key, val FROM put2 UNION ALL "
-            "SELECT key, val FROM put1 "
-            "WHERE key NOT IN (SELECT key FROM put2)), "
-            "probes AS (SELECT CAST(o_orderkey AS VARCHAR) AS key "
-            "FROM orders WHERE o_orderkey % 97 = 0 "
-            "UNION ALL SELECT 'absent-1' UNION ALL SELECT 'absent-2') "
-            "SELECT p.key AS key, l.val AS value "
-            "FROM probes p LEFT JOIN latest l ON p.key = l.key"
-        ),
+        # two epochs of puts = latest-wins upsert; never-put probe keys
+        # come back NULL (on the Spark side those never touch the store
+        # at all — the bloom gate elides the read). The sharded-gate
+        # variant runs the IDENTICAL contract through the cogrouped
+        # per-shard-SBF gate, so one oracle serves both.
+        "kv_store_get": _KV_GET_SQL,
+        "kv_store_sharded_get": _KV_GET_SQL,
     }
