@@ -839,3 +839,34 @@ def compact_ivf_index(spark, path: str) -> DataFrame:
     shutil.rmtree(path)
     os.rename(tmp, path)
     return spark.read.parquet(path)
+
+
+def compact_srp_index(spark, path: str, n_files: int = 8) -> DataFrame:
+    """Offline SRP maintenance (run with no readers active): fold the
+    small files :func:`append_to_srp_index` accumulates. The SRP index
+    is a flat (id, table, bucket) table — no partition dirs to preserve
+    — so compaction is a plain coalescing rewrite into ``n_files``
+    files, geometry sidecar carried verbatim (compaction moves bytes,
+    never re-signatures). Same write-aside + rename swap as
+    :func:`compact_ivf_index`. Returns the re-read index."""
+    import json
+    import os
+    import shutil
+
+    mpath = os.path.join(path, "_srp_meta.json")
+    if not os.path.exists(mpath):
+        raise ValueError(
+            f"index at {path!r} has no _srp_meta.json sidecar — only "
+            "pinned indexes (build_srp_index(path=...)) can be compacted"
+        )
+    with open(mpath) as f:
+        meta = json.load(f)
+    idx = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    idx.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_srp_meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)

@@ -1390,3 +1390,45 @@ def test_compact_ivf_index_one_file_per_cell(spark, emb, tmp_path):
     append_to_ivf_index(emb.where("vec_id >= 200"), "vec_id", "embedding",
                         32, cents, p)
     assert spark.read.parquet(p).count() == emb.count()
+
+
+def test_compact_srp_index_folds_small_files(spark, emb, tmp_path):
+    """Repeated SRP appends accumulate small files in the flat index
+    dir; compaction folds them to n_files, preserves the row set and
+    the geometry sidecar, and appends + probes keep working after."""
+    import glob
+    import json
+    import os
+
+    from sprout_spark.operators.similarity import (
+        append_to_srp_index,
+        build_srp_index,
+        compact_srp_index,
+    )
+
+    p = str(tmp_path / "srp")
+    build_srp_index(emb.where("vec_id < 50"), "vec_id", "embedding", 32,
+                    n_planes=8, n_tables=4, path=p)
+    for lo, hi in ((50, 70), (70, 90), (90, 200)):
+        append_to_srp_index(emb.where(f"vec_id >= {lo} AND vec_id < {hi}"),
+                            "vec_id", "embedding", 32, n_planes=8,
+                            n_tables=4, path=p)
+    n_parts = len(glob.glob(os.path.join(p, "*.parquet")))
+    assert n_parts > 4  # appends really fragmented it
+    with open(os.path.join(p, "_srp_meta.json")) as f:
+        meta_before = json.load(f)
+    rows_before = sorted(
+        (r["id"], r["table"], r["bucket"])
+        for r in spark.read.parquet(p).collect()
+    )
+    idx = compact_srp_index(spark, p, n_files=4)
+    assert len(glob.glob(os.path.join(p, "*.parquet"))) <= 4
+    assert sorted(
+        (r["id"], r["table"], r["bucket"]) for r in idx.collect()
+    ) == rows_before
+    with open(os.path.join(p, "_srp_meta.json")) as f:
+        assert json.load(f) == meta_before  # sidecar intact
+    # maintenance keeps composing: append after compact
+    append_to_srp_index(emb.where("vec_id >= 200"), "vec_id", "embedding",
+                        32, n_planes=8, n_tables=4, path=p)
+    assert spark.read.parquet(p).select("id").distinct().count() == emb.count()
