@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -193,6 +194,46 @@ class BloomGatedKVStore:
     def _schema(self) -> str:
         return "key string, value binary, bucket int"
 
+    @contextmanager
+    def _write_lock(self):
+        """Single-writer serialization for mutating ops (put/compact) —
+        the reference's advisory per-path fslock (``bloom.go:428-443``
+        holds one for the mmap'd filter file) at store granularity.
+        Non-blocking: a second concurrent writer fails loud instead of
+        silently racing the epoch counter / commit point. Under the
+        lock the on-disk watermark is re-checked: a STALE instance
+        (another writer advanced the store since this one loaded state)
+        must not allocate an already-committed epoch id."""
+        import fcntl
+
+        lf = open(os.path.join(self.path, ".lock"), "w")
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            lf.close()
+            raise RuntimeError(
+                f"another writer holds the lock on {self.path!r}; "
+                "concurrent mutations would race the commit point"
+            )
+        try:
+            sp = self._state_path()
+            if os.path.exists(sp):
+                with open(sp, "rb") as f:
+                    disk_epoch = int(
+                        json.loads(f.read().split(b"\n", 1)[0].decode())["epoch"]
+                    )
+                if disk_epoch != self.last_epoch:
+                    raise RuntimeError(
+                        f"store at {self.path!r} advanced to epoch "
+                        f"{disk_epoch} (this instance loaded "
+                        f"{self.last_epoch}) — another writer committed; "
+                        "reopen the store before mutating"
+                    )
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+            lf.close()
+
     # -- Put --------------------------------------------------------------------
     def put(self, kv_df: DataFrame, key_col: str, val_col: str) -> int:
         """Upsert a batch of (key, value) rows; returns the epoch id.
@@ -201,6 +242,10 @@ class BloomGatedKVStore:
         batch are ambiguous (which value wins?) and fail loud — dedupe
         upstream with your own rule; across batches, later puts win.
         """
+        with self._write_lock():
+            return self._put_locked(kv_df, key_col, val_col)
+
+    def _put_locked(self, kv_df: DataFrame, key_col: str, val_col: str) -> int:
         epoch = self.last_epoch + 1
         kv = kv_df.select(
             F.col(key_col).cast("string").alias("key"),
@@ -411,6 +456,10 @@ class BloomGatedKVStore:
         readers on the epoch dirs; after (2) the base serves; a partial
         (3) is harmless (swept next time). Resolved rows KEEP their
         winning ``_epoch`` so later epochs still win over the base."""
+        with self._write_lock():
+            return self._compact_locked(n_files)
+
+    def _compact_locked(self, n_files: int) -> int:
         import glob
 
         import pyarrow.parquet as pq

@@ -458,3 +458,51 @@ def test_bloom_gated_kv_store_sharded_gate(spark, tmp_path):
         for r in kv2.get(probes, "k").collect()
     }
     assert g3 == got
+
+
+def test_bloom_gated_kv_store_write_lock_and_staleness(spark, tmp_path):
+    """Mutations are single-writer (the reference's advisory fslock,
+    bloom.go:428-443, at store granularity): a held lock makes a
+    concurrent put fail loud, and a STALE instance (the store advanced
+    since it loaded state) refuses to allocate an already-committed
+    epoch id instead of corrupting the commit chain."""
+    import fcntl
+    import os
+
+    import pytest
+
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kvl")
+    kv_a = BloomGatedKVStore(spark, p, n_buckets=4, expected_keys=1000)
+    df = spark.createDataFrame([("a", b"1")], "k string, v binary")
+    kv_a.put(df, "k", "v")
+    # a second holder of the lock blocks mutation
+    lf = open(os.path.join(p, ".lock"), "w")
+    fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    with pytest.raises(RuntimeError, match="another writer"):
+        kv_a.put(
+            spark.createDataFrame([("b", b"2")], "k string, v binary"),
+            "k",
+            "v",
+        )
+    fcntl.flock(lf, fcntl.LOCK_UN)
+    lf.close()
+    # staleness: kv_b loaded state before kv_a's next commit
+    kv_b = BloomGatedKVStore(spark, p, n_buckets=4, expected_keys=1000)
+    kv_a.put(
+        spark.createDataFrame([("c", b"3")], "k string, v binary"), "k", "v"
+    )
+    with pytest.raises(RuntimeError, match="advanced to epoch"):
+        kv_b.put(
+            spark.createDataFrame([("d", b"4")], "k string, v binary"),
+            "k",
+            "v",
+        )
+    with pytest.raises(RuntimeError, match="advanced to epoch"):
+        kv_b.compact()
+    # a reopened instance proceeds normally
+    kv_c = BloomGatedKVStore(spark, p, n_buckets=4, expected_keys=1000)
+    assert kv_c.put(
+        spark.createDataFrame([("d", b"4")], "k string, v binary"), "k", "v"
+    ) == 2
