@@ -598,6 +598,11 @@ def main() -> None:
     # min-of-3 instead of one draw from a minute-scale steal lottery
     # (measured r5: a single draw landed 40.2s in the same invocation
     # whose min-of-2 scaling reps ran 19.3s on identical code).
+    # t_bracketed stays the DEDICATED run between the two canaries: the
+    # cross-round normalized delta must pair a flagship and a canary
+    # from the same box window, and the min can come from a scaling rep
+    # 15+ minutes before the canaries sampled.
+    t_bracketed = t_full
     if headline_cpus in runs and runs[headline_cpus]:
         t_full = min([t_full] + runs[headline_cpus])
     mix_canary = {
@@ -644,6 +649,11 @@ def main() -> None:
         "rows_lineitem": n_li,
         "flagship_turns": rows_flagship,
         "flagship_turns_per_sec": throughput,  # warm, at flagship_cpus
+        # canary-bracketed dedicated run (same box window as the canary
+        # mean) — the value the cross-round normalized delta pairs
+        "flagship_turns_per_sec_bracketed": round(
+            rows_flagship / t_bracketed, 1
+        ),
         "flagship_cpus": headline_cpus,
         "scaling": {
             f"local[{SCALING_LEVELS[0]}]_sec": round(t_small, 3),
@@ -702,18 +712,36 @@ def _prev_round_delta(result: dict) -> dict | None:
         # the driver wraps bench's JSON line under "parsed"
         if "parsed" in prev and isinstance(prev["parsed"], dict):
             prev = prev["parsed"]
-        prev_tps = float(prev["flagship_turns_per_sec"])
+        # prefer the canary-bracketed value on BOTH sides (same box
+        # window as the canary it divides by); older rounds only have
+        # the single dedicated-run value, which was measured adjacent
+        # to its canary anyway
+        prev_tps = float(
+            prev.get("flagship_turns_per_sec_bracketed")
+            or prev["flagship_turns_per_sec"]
+        )
         prev_canary = float(
             prev["flagship_mix_canary"]["sketch_keys_per_sec"]
         )
-    except (KeyError, ValueError, json.JSONDecodeError):
-        return {"prev_round": rnd, "error": "prev JSON missing fields"}
-    now_tps = float(result["flagship_turns_per_sec"])
-    now_canary = float(
-        result["flagship_mix_canary"]["sketch_keys_per_sec"]
-    )
-    raw = now_tps / prev_tps
-    canary_ratio = now_canary / prev_canary
+        now_tps = float(
+            result.get("flagship_turns_per_sec_bracketed")
+            or result["flagship_turns_per_sec"]
+        )
+        now_canary = float(
+            result["flagship_mix_canary"]["sketch_keys_per_sec"]
+        )
+        raw = now_tps / prev_tps
+        canary_ratio = now_canary / prev_canary
+    except (
+        KeyError,
+        ValueError,
+        TypeError,
+        OSError,
+        ZeroDivisionError,
+        json.JSONDecodeError,
+    ):
+        # never lose a multi-hour run to a malformed prior JSON
+        return {"prev_round": rnd, "error": "prev JSON missing/bad fields"}
     return {
         "prev_round": rnd,
         "raw_ratio": round(raw, 4),

@@ -34,6 +34,7 @@ from .similarity import (
     build_ivf_index,
     build_srp_index,
     compact_ivf_index,
+    compact_srp_index,
     cosine_pairs_exact,
     cosine_topk,
     embedding_near_dup_pairs,

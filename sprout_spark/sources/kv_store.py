@@ -109,6 +109,7 @@ class BloomGatedKVStore:
         self.gate = pin["gate"]
         self.gate_shards = pin.get("gate_shards")
         self.sketch, self.last_epoch, self.gate_dir = self._load_state()
+        self._prev_gate_dir = None  # retained one put for lazy readers
 
     # -- layout pinning / state ------------------------------------------------
     def _pin(self, n_buckets: int, gate: str, gate_shards: int | None) -> dict:
@@ -251,20 +252,26 @@ class BloomGatedKVStore:
             F.col(key_col).cast("string").alias("key"),
             F.col(val_col).cast("binary").alias("value"),
         ).where(F.col("key").isNotNull())
-        agg = kv.agg(
-            F.count("*").alias("n"), F.countDistinct("key").alias("d")
-        ).collect()[0]
-        if agg["n"] != agg["d"]:
-            raise ValueError(
-                f"put batch has {agg['n'] - agg['d']} duplicate key(s); "
-                "dedupe upstream (which value should win is your rule, "
-                "not the store's)"
-            )
         kv = kv.withColumn("bucket", self._bucket(F.col("key")))
         epoch_path = os.path.join(self.path, f"epoch={epoch}")
         shutil.rmtree(epoch_path, ignore_errors=True)  # orphan from a crash
         kv.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
         committed = self.spark.read.schema(self._schema).parquet(epoch_path)
+        # duplicate-key check runs on the COMMITTED parquet, not the
+        # caller's plan: a nondeterministic input (sample(), rand() keys)
+        # could pass a pre-write check yet write something else — and the
+        # committed read is the batch's only extra pass, not a second
+        # evaluation of the caller's plan
+        agg = committed.agg(
+            F.count("*").alias("n"), F.countDistinct("key").alias("d")
+        ).collect()[0]
+        if agg["n"] != agg["d"]:
+            shutil.rmtree(epoch_path, ignore_errors=True)  # abort: uncommitted
+            raise ValueError(
+                f"put batch has {agg['n'] - agg['d']} duplicate key(s); "
+                "dedupe upstream (which value should win is your rule, "
+                "not the store's)"
+            )
         if self.gate == "sharded":
             self._fold_epoch_sharded(committed, epoch)
         else:
@@ -272,10 +279,14 @@ class BloomGatedKVStore:
         self.last_epoch = epoch
         self._save_state()
         if self.gate == "sharded":
-            # sweep superseded gate generations (post-commit; a crash
-            # before this re-sweeps on the next put)
+            # sweep superseded gate generations, RETAINING the immediately
+            # previous one: a lazy get() plan taken before this put still
+            # reads its generation; plans older than one put must be
+            # materialized before mutating (documented in get()). A crash
+            # before the sweep just re-sweeps on the next put.
+            keep = {self.gate_dir, self._prev_gate_dir}
             for d in os.listdir(self.path):
-                if d.startswith("gate-") and d != self.gate_dir:
+                if d.startswith("gate-") and d not in keep:
                     shutil.rmtree(
                         os.path.join(self.path, d), ignore_errors=True
                     )
@@ -334,12 +345,27 @@ class BloomGatedKVStore:
         ``_fold_epoch``, with no driver-side sketch and no broadcast.
         Shards untouched by the batch pass through unchanged (cogroup
         yields the union of group keys). The new gate generation is
-        fully written BEFORE ``_save_state`` commits it."""
+        fully written BEFORE ``_save_state`` commits it. An all-empty
+        epoch writes NO generation (a zero-row gate table would brick
+        the probe's modulus lookup; the broadcast path's n_new==0 skip
+        is the same rule)."""
+        import glob
+
         import pyarrow as pa
+        import pyarrow.parquet as pq
 
         from ..sketch.scalable_bloom import ScalableBloomFilter
         from ..spark.sharded import SHARD_ROW_SCHEMA, shard_id
 
+        n_new = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(
+                os.path.join(self.path, f"epoch={epoch}", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+        if n_new == 0:
+            return  # nothing to fold; gate generation stays as-is
         err, n_shards = self.err_rate, self.gate_shards
         keys = committed.select(
             F.col("key").alias("k"), shard_id(F.col("key"), n_shards).alias("shard")
@@ -381,6 +407,7 @@ class BloomGatedKVStore:
         )
         gen = f"gate-{epoch}"
         folded.write.mode("overwrite").parquet(os.path.join(self.path, gen))
+        self._prev_gate_dir = self.gate_dir
         self.gate_dir = gen
 
     # -- Get --------------------------------------------------------------------
@@ -510,7 +537,12 @@ class BloomGatedKVStore:
         """Batch Get: ``keys_df`` plus a binary ``out_col`` (NULL = never
         Put). Bloom-miss keys never touch the store (the reference's
         lookup elision); maybe-keys read only their buckets' directories
-        and resolve latest-epoch-wins per key."""
+        and resolve latest-epoch-wins per key.
+
+        The result is LAZY like any DataFrame; on a sharded-gate store,
+        materialize it before more than one further ``put`` (each put
+        retains only the immediately previous gate generation for
+        in-flight readers)."""
         if out_col in keys_df.columns:
             raise ValueError(
                 f"out_col {out_col!r} already exists in keys_df — it "
@@ -518,10 +550,11 @@ class BloomGatedKVStore:
             )
 
         # collision-free temp names: an input column literally named
-        # "_key"/"_bucket" would otherwise be clobbered and dropped
+        # "_key"/"_bucket" — or an out_col equal to one of them — would
+        # otherwise be clobbered and dropped
         def _tmp(base: str) -> str:
             name = base
-            while name in keys_df.columns:
+            while name in keys_df.columns or name == out_col:
                 name += "_"
             return name
 

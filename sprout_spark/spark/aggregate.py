@@ -486,8 +486,6 @@ def build_grouped_sketches(
     weights drop in the numeric path, count 0 in the hash path.
     """
     out_schema = "key string, sketch binary, rows bigint"
-    if weight_col is not None:
-        _require_weighted_interface(factory)
 
     # grouped-build analog of _warn_if_partials_oversized: HLL/CMS
     # partials self-shrink (sparse wire payloads), but a Bloom filter's

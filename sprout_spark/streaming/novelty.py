@@ -259,7 +259,7 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
         return n
 
     def _fold_epoch(
-        self, spark, novel_committed: DataFrame, epoch_path: str
+        self, novel_committed: DataFrame, epoch_path: str
     ) -> None:
         """Fold an epoch's novel keys into the running filter.
 
@@ -360,7 +360,7 @@ class StreamingNoveltyFilter(StreamingSketchAccumulator):
             novel_committed = spark.read.schema(self._seen_schema).parquet(
                 epoch_path
             )
-            self._fold_epoch(spark, novel_committed, epoch_path)
+            self._fold_epoch(novel_committed, epoch_path)
             self.last_epoch = epoch_id
             self._save(epoch_id)
         finally:

@@ -506,3 +506,26 @@ def test_bloom_gated_kv_store_write_lock_and_staleness(spark, tmp_path):
     assert kv_c.put(
         spark.createDataFrame([("d", b"4")], "k string, v binary"), "k", "v"
     ) == 2
+
+
+def test_bloom_gated_kv_sharded_empty_first_put(spark, tmp_path):
+    """An all-NULL-key (effectively empty) first put on a sharded-gate
+    store must not write a zero-row gate table (which would brick the
+    probe's modulus lookup): gets return all-NULL, and a later real put
+    starts the gate normally."""
+    from sprout_spark.sources.kv_store import BloomGatedKVStore
+
+    p = str(tmp_path / "kvse")
+    kv = BloomGatedKVStore(spark, p, n_buckets=4, gate="sharded", gate_shards=4)
+    empty = spark.createDataFrame(
+        [(None, b"x")], "k string, v binary"
+    )  # NULL keys are dropped -> zero committed rows
+    assert kv.put(empty, "k", "v") == 0
+    assert kv.gate_dir is None  # no gate generation written
+    probes = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {r["k"]: r["value"] for r in kv.get(probes, "k").collect()}
+    assert got == {"a": None, "b": None}
+    # a later real put starts the gate and serves
+    kv.put(spark.createDataFrame([("a", b"1")], "k string, v binary"), "k", "v")
+    got2 = {r["k"]: r["value"] for r in kv.get(probes, "k").collect()}
+    assert bytes(got2["a"]) == b"1" and got2["b"] is None
