@@ -962,6 +962,62 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(F.col("id").alias("doc_id")).distinct()
 
 
+def _docs_two_token_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line corpus derived from documents (the table
+    is single-line synthetic text): consecutive 2-token chunks become
+    lines. The DuckDB oracles derive the identical corpus in SQL, so the
+    line operators compare end-to-end on real multi-line shapes."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nline = F.greatest(F.ceil(F.size(toks) / F.lit(2)), F.lit(1)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), nline - 1),
+        lambda i: F.array_join(F.slice(toks, i * 2 + 1, 2), " "),
+    )
+    return docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text")
+    )
+
+
+# shared SQL prefix for the line-dedup oracles: the identical derived
+# 2-token-line corpus, exploded with per-doc positions
+_LINES_DERIVED_SQL = """
+WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+lines AS (
+  SELECT doc_id, i AS g,
+         array_to_string(toks[(i*2+1):(i*2+2)], ' ') AS line
+  FROM d, unnest(range(0, CAST(greatest(ceil(len(toks)/2.0), 1) AS BIGINT))) AS t(i)
+)"""
+
+
+def q_strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal (Raffel et al. 2020 §2.2): drop
+    every line occurring in >= min_docs distinct documents, rewrite the
+    survivors in place. Count stage shuffles (xxhash64(line), id) only;
+    a broadcast Bloom over the bad keys prunes the text-carrying verify
+    pass to suspect lines (zero FN -> exact; the reference's
+    lookup-elision, bloom.go:220-236, applied to corpus rewriting);
+    decisions confirm on exact trimmed text, so hash collisions cannot
+    misfire. min_docs=16 leaves a real kept/dropped mix on the tiny
+    synthetic vocabulary."""
+    from sprout_spark.operators.lines import strip_boilerplate_lines
+
+    docs2 = _docs_two_token_lines(spark, sf_dir)
+    return strip_boilerplate_lines(docs2, "doc_id", "text", min_docs=16)
+
+
+def q_dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global line dedup, first occurrence wins (by (doc_id, position) —
+    the C4 'keep one of any repeated span' rule at line grain). Same
+    bloom-pruned count/verify/rewrite shape as strip_boilerplate_docs;
+    the verify recomputes exact occurrence counts AND the first position
+    over suspect lines only."""
+    from sprout_spark.operators.lines import dedup_lines_keep_first
+
+    docs2 = _docs_two_token_lines(spark, sf_dir)
+    return dedup_lines_keep_first(docs2, "doc_id", "text")
+
+
 def q_media_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only multimodal aggregation: per-kind counts + pixel
     totals never touch the payload column (Catalyst prunes the blob —
@@ -1356,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dup_pairs": q_containment_dup_pairs,
         "containment_clean_docs": q_containment_clean_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "strip_boilerplate_docs": q_strip_boilerplate_docs,
+        "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -1766,6 +1824,37 @@ trims AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT trim FROM trims)
+""",
+        "strip_boilerplate_docs": _LINES_DERIVED_SQL + """,
+bad AS (
+  SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 16
+),
+flagged AS (
+  SELECT l.doc_id, l.g, l.line, (b.norm IS NOT NULL) AS is_bad
+  FROM lines l LEFT JOIN bad b ON trim(l.line) = b.norm
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY g)
+                FILTER (WHERE NOT is_bad), '') AS text,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE is_bad) AS n_dropped
+FROM flagged GROUP BY doc_id
+""",
+        "dedup_lines_keep_first": _LINES_DERIVED_SQL + """,
+ranked AS (
+  SELECT doc_id, g, line,
+         CASE WHEN trim(line) = '' THEN 1
+              ELSE row_number() OVER (PARTITION BY trim(line)
+                                      ORDER BY doc_id, g) END AS rn
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY g)
+                FILTER (WHERE rn = 1), '') AS text,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM ranked GROUP BY doc_id
 """,
         "decontaminate_docs": """
 WITH g AS (

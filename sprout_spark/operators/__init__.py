@@ -17,6 +17,11 @@ from .dedup import (
     token_sets,
     verify_jaccard,
 )
+from .lines import (
+    boilerplate_lines,
+    dedup_lines_keep_first,
+    strip_boilerplate_lines,
+)
 from .multimodal import (
     extract_audio_features,
     extract_image_features,
