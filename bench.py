@@ -380,6 +380,30 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
             max_fp_docs=256,
         ).count(),
     )
+    # line-level dedup on the TILED corpus reshaped to 2-token lines:
+    # rep-variants share almost every line (only the suffix chunk
+    # differs), so this is the boilerplate-heavy shape the operator
+    # exists for; the count shuffle carries 16 B/row regardless
+    from sprout_spark.operators.lines import strip_boilerplate_lines
+
+    _toks = F.split(F.col("text"), " ")
+    _nline = F.greatest(F.ceil(F.size(_toks) / F.lit(2)), F.lit(1)).cast("int")
+    docs_ml = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), _nline - 1),
+                lambda i: F.array_join(F.slice(_toks, i * 2 + 1, 2), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    timed(
+        "strip_boilerplate_docs",
+        lambda: strip_boilerplate_lines(
+            docs_ml, "doc_id", "text", min_docs=16
+        ).select(F.sum("n_dropped")).collect(),
+    )
     timed(
         "text_stats_docs",
         lambda: with_text_stats(docs, "text").select(F.max("n_ws_tokens")).collect(),
