@@ -114,6 +114,12 @@ def _min_label_components(pairs):
         "streaming_novel_docs",
         "sharded_sbf_recall",
         "windowed_hll_events",
+        # line-level dedup: counts/joins on trimmed lines are linear in
+        # both engines; at sf0.1 the derived corpus is ~90k lines over
+        # ~1k distinct norms — maximal-boilerplate stress for the
+        # bloom-pruned verify (nearly every line is a suspect)
+        "strip_boilerplate_docs",
+        "dedup_lines_keep_first",
     ],
 )
 def test_full_oracle_at_sf01(spark01, ddb, name):
