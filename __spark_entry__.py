@@ -1138,6 +1138,23 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return sample.select("lang", "doc_id")
 
 
+def q_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source WEIGHT-budget sample — "at most 5000 chars per source",
+    the training-mix primitive (token budgets per source are how corpus
+    mixes are specified). The maximal md5-ordered prefix under the
+    budget, decided by the two-phase bucket-histogram plan (whole
+    buckets pass sort-free; only the one boundary bucket per stratum
+    sorts — never a full-stratum window); the oracle is the naive
+    single-window cumsum SQL, so equality also re-proves the two-phase
+    classification exact at this scale."""
+    from sprout_spark.operators.sampling import budget_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return budget_sample(
+        docs, ["source"], "doc_id", "n_chars", budget=5000
+    ).select("doc_id", "source", "n_chars")
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding (exact)."""
     from sprout_spark.operators.similarity import cosine_topk
@@ -1425,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_batch_topk": q_ann_ivf_batch_topk,
         "ann_ivf_appended_batch_topk": q_ann_ivf_appended_batch_topk,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "budget_sample_documents": q_budget_sample_documents,
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
         "kv_store_get": q_kv_store_get,
@@ -1986,6 +2004,15 @@ FROM (
             "row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
             "FROM documents) WHERE rn <= 25"
+        ),
+        "budget_sample_documents": (
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, "
+            "sum(n_chars) OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cw "
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) "
+            "WHERE cw <= 5000"
         ),
         # two epochs of puts = latest-wins upsert; never-put probe keys
         # come back NULL (on the Spark side those never touch the store

@@ -30,7 +30,7 @@ from .multimodal import (
     sample_video_frames,
     synthesize_media,
 )
-from .sampling import stratified_sample
+from .sampling import budget_sample, stratified_sample
 from .similarity import (
     ann_ivf_topk,
     ann_lsh_topk,

@@ -1,4 +1,5 @@
-"""Deterministic stratified sampling — "cap N documents per stratum".
+"""Deterministic stratified sampling — "cap N documents per stratum",
+and budget sampling — "cap N tokens/bytes per stratum".
 
 Training-data pipelines constantly need a per-group cap: at most N docs
 per domain / language / source, chosen uniformly and REPRODUCIBLY (the
@@ -107,4 +108,132 @@ def stratified_sample(
         tagged.withColumn(c_r2, F.row_number().over(w2))
         .where(F.col(c_r2) <= n_per_group)
         .drop(c_r2, c_sh)
+    )
+
+
+# number of hash-prefix buckets for budget_sample's two-phase plan; a
+# power of 16 so the portable (hex md5) bucket is a string prefix and
+# bucket order provably agrees with the row order for both hash modes
+_BUDGET_BUCKETS = 4096
+
+
+def budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-stratum WEIGHT-budget sample: the training-mix primitive
+    "take at most ``budget`` tokens (bytes, chars, ...) per source".
+
+    Within each ``group_cols`` stratum, rows are ordered by a
+    deterministic hash of ``key_col`` (uniform over keys, identical on
+    every rerun and at any parallelism — the same order
+    :func:`stratified_sample` uses) and the maximal PREFIX whose
+    cumulative ``weight_col`` stays ``<= budget`` is kept. Returns the
+    input columns unchanged. Rows with NULL or non-positive weight are
+    excluded up front (they cannot consume budget, and zero-weight rows
+    would make the maximal-prefix rule order-ambiguous).
+
+    PRECONDITION: ``key_col`` uniquely identifies rows (ties on the
+    (hash, key) order tuple would make the boundary nondeterministic).
+
+    Scale shape — the naive form is one window cumsum per stratum, which
+    SORTS every stratum end to end (a hot source's whole row set through
+    one task). This runs the identical decision in two phases instead:
+
+    1. bucket rows by the top hash prefix (4096 buckets, order-aligned
+       with the row order); per (stratum, bucket) weight sums make a
+       histogram of at most 4096 rows per stratum;
+    2. a window cumsum over the HISTOGRAM classifies each bucket: wholly
+       inside the budget (every row passes — no sort ever touches
+       them), wholly beyond (dropped), or the single boundary bucket per
+       stratum, whose rows alone — ~1/4096 of the stratum — get the
+       exact row-level cumsum at the bucket's starting offset.
+
+    Positive weights make the classification exact (cumulative weight is
+    strictly increasing), so the result is row-for-row identical to the
+    naive global window (tested). The rows pass through two joins
+    against the small classification table (AQE broadcasts it when
+    small); the input is scanned twice (pass-through + boundary) —
+    materialize upstream if it is not a cheap scan.
+
+    ``hash_mode="portable"`` orders by ``md5(cast(key as string))`` so
+    plain SQL reproduces the sample bit-for-bit (the oracle gate);
+    ``"xxhash64"`` is the JVM-codegen throughput path.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+
+    def _tmp(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name += "_"
+        return name
+
+    c_sh, c_b, c_bw, c_off, c_cls, c_cum = (
+        _tmp(b) for b in ("_sh", "_b", "_bw", "_off", "_cls", "_cum")
+    )
+    w = F.col(weight_col)
+    rows = df.where(w.isNotNull() & (w > 0)).withColumn(
+        c_sh, _order_hash(key_col, hash_mode)
+    )
+    if hash_mode == "portable":
+        # first 3 hex chars: a string PREFIX of the (lowercase hex) md5,
+        # so bucket order is consistent with the lexicographic row order
+        bucket = F.conv(F.substring(F.col(c_sh), 1, 3), 16, 10).cast("int")
+    else:
+        # arithmetic shift keeps signed order: top 12 bits, [-2048, 2047]
+        bucket = F.shiftright(F.col(c_sh), 52).cast("int")
+    rows = rows.withColumn(c_b, bucket)
+
+    hist = rows.groupBy(*group_cols, c_b).agg(F.sum(w).alias(c_bw))
+    wh = (
+        Window.partitionBy(*group_cols)
+        .orderBy(c_b)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(c_bw).over(wh)
+    classified = hist.select(
+        *group_cols,
+        c_b,
+        (cum - F.col(c_bw)).alias(c_off),  # weight strictly before bucket
+        F.when(cum <= budget, F.lit(1))  # wholly in
+        .when(cum - F.col(c_bw) >= budget, F.lit(-1))  # wholly out
+        .otherwise(F.lit(0))  # the one boundary bucket per stratum
+        .alias(c_cls),
+    ).where(F.col(c_cls) >= 0)
+
+    # NULL-safe join keys: NULL strata group together in groupBy and
+    # must keep matching their own histogram rows here. Explicit frame
+    # aliases: the histogram derives from `rows`, so same-name columns
+    # share attribute ids and an unaliased condition is ambiguous.
+    ra, ca = "__budget_rows__", "__budget_hist__"
+    r_f, c_f = rows.alias(ra), classified.alias(ca)
+    cond = [
+        F.col(f"{ra}.{c}").eqNullSafe(F.col(f"{ca}.{c}")) for c in group_cols
+    ]
+    cond.append(F.col(f"{ra}.{c_b}") == F.col(f"{ca}.{c_b}"))
+    joined = r_f.join(c_f, cond, "inner").select(
+        f"{ra}.*", F.col(f"{ca}.{c_off}").alias(c_off),
+        F.col(f"{ca}.{c_cls}").alias(c_cls),
+    )
+
+    keep_whole = joined.where(F.col(c_cls) == 1)
+    wb = (
+        Window.partitionBy(*group_cols, c_b)
+        .orderBy(c_sh, key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        joined.where(F.col(c_cls) == 0)
+        .withColumn(c_cum, F.col(c_off) + F.sum(w).over(wb))
+        .where(F.col(c_cum) <= budget)
+        .drop(c_cum)
+    )
+    out_cols = df.columns
+    return keep_whole.select(*out_cols).unionByName(
+        boundary.select(*out_cols)
     )

@@ -261,6 +261,107 @@ def test_stratified_sample_xxhash_mode(spark, langdocs):
         stratified_sample(docs, ["lang"], "doc_id", 3, hash_mode="bogus")
 
 
+def _naive_budget(df, groups, key, wcol, budget, mode):
+    """Reference single-window form of budget_sample (sorts whole strata
+    — correct, not scalable): the two-phase plan must match it exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sprout_spark.operators.sampling import _order_hash
+
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(_order_hash(key, mode), key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.where(F.col(wcol).isNotNull() & (F.col(wcol) > 0))
+        .withColumn("_cw", F.sum(wcol).over(w))
+        .where(F.col("_cw") <= budget)
+        .drop("_cw")
+    )
+
+
+@pytest.fixture()
+def wdocs(langdocs):
+    from pyspark.sql import functions as F
+
+    return langdocs.withColumn("n_chars", F.length("text").cast("bigint"))
+
+
+def test_budget_sample_equals_naive_window(spark, wdocs):
+    """Bucket-histogram classification ≡ the global window cumsum, at
+    budgets hitting empty/partial/full strata, in both hash modes."""
+    from sprout_spark.operators.sampling import budget_sample
+
+    total = wdocs.agg({"n_chars": "sum"}).collect()[0][0]
+    for mode in ("portable", "xxhash64"):
+        for budget in (50, total // 6, total):
+            a = sorted(
+                map(tuple, budget_sample(
+                    wdocs, ["lang"], "doc_id", "n_chars", budget,
+                    hash_mode=mode).collect())
+            )
+            b = sorted(
+                map(tuple, _naive_budget(
+                    wdocs, ["lang"], "doc_id", "n_chars", budget,
+                    mode).collect())
+            )
+            assert a == b, (mode, budget)
+    # the full-corpus budget keeps every positive-weight row
+    assert len(a) == wdocs.count()
+
+
+def test_budget_sample_budget_held_and_maximal(spark, wdocs):
+    from pyspark.sql import functions as F
+
+    from sprout_spark.operators.sampling import budget_sample
+
+    budget = 900
+    s = budget_sample(wdocs, ["lang"], "doc_id", "n_chars", budget)
+    sums = {r["lang"]: r["s"] for r in
+            s.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()}
+    assert sums and all(v <= budget for v in sums.values())
+    # maximality: the next row in hash order would overflow the budget
+    nxt = {r["lang"]: r for r in
+           _naive_budget(wdocs, ["lang"], "doc_id", "n_chars", 10**15,
+                         "portable")
+           .join(s.select("doc_id").withColumn("_in", F.lit(1)),
+                 "doc_id", "left_anti")
+           .groupBy("lang").agg(F.min("n_chars").alias("w")).collect()}
+    for lang, r in nxt.items():
+        assert sums.get(lang, 0) + r["w"] > budget
+
+
+def test_budget_sample_parallelism_invariant(spark, wdocs):
+    from sprout_spark.operators.sampling import budget_sample
+
+    a = {r["doc_id"] for r in budget_sample(
+        wdocs, ["lang"], "doc_id", "n_chars", 700).collect()}
+    b = {r["doc_id"] for r in budget_sample(
+        wdocs.repartition(13), ["lang"], "doc_id", "n_chars", 700
+    ).collect()}
+    assert a == b and a
+
+
+def test_budget_sample_edge_weights_and_guards(spark):
+    from sprout_spark.operators.sampling import budget_sample
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "s", None), (4, "s", -5),
+         (5, "s", 7)],
+        "id bigint, src string, w bigint",
+    )
+    got = sorted((r["id"], r["src"]) for r in
+                 budget_sample(df, ["src"], "id", "w", 15).collect())
+    # NULL stratum works (null-safe join); NULL/negative weights drop
+    assert got == [(1, None), (5, "s")]
+    with pytest.raises(ValueError, match="budget"):
+        budget_sample(df, ["src"], "id", "w", 0)
+    with pytest.raises(ValueError, match="hash_mode"):
+        budget_sample(df, ["src"], "id", "w", 5, hash_mode="bogus")
+
+
 def test_text_stats_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "Hello, World 42!"), (2, ""), (3, "   "), (4, "a b  c")],
