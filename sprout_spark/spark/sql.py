@@ -164,7 +164,11 @@ class SketchCatalog:
         return self
 
     def put_sharded(
-        self, name: str, filters: DataFrame, n_shards: int | None = None
+        self,
+        name: str,
+        filters: DataFrame,
+        n_shards: int | None = None,
+        source_path: str | None = None,
     ) -> "SketchCatalog":
         """Register a SHARDED filter table (``spark/sharded.py`` layout,
         ``[shard, sketch, rows, n_shards]``) under a catalog name — the
@@ -174,7 +178,14 @@ class SketchCatalog:
         BroadcastExchange-free. Re-putting under the same name is the
         nightly roll: the next probe uses the new table. The scalar SQL
         functions cannot address sharded entries (a scalar UDF cannot
-        run a join); probing one by name there fails loud."""
+        run a join); probing one by name there fails loud.
+
+        ``source_path`` declares where the table already lives at rest
+        (the nightly build's own parquet output): :meth:`save` then
+        persists this entry BY REFERENCE — a manifest pointer, not a
+        copy — which is the only sane shape for a filter table that is
+        itself terabytes. Without it, :meth:`save` materializes the
+        DataFrame into the catalog directory."""
         from .sharded import _resolve_n_shards
 
         n_shards = _resolve_n_shards(filters, n_shards)
@@ -182,7 +193,7 @@ class SketchCatalog:
         self._sketches.pop(name, None)
         self._digests.pop(name, None)
         old = self._bcs.pop(name, None)
-        self._sharded[name] = (filters, n_shards)
+        self._sharded[name] = (filters, n_shards, source_path)
         if dropped:
             self._rebind()
         if old is not None:
@@ -206,7 +217,7 @@ class SketchCatalog:
         if name in self._sharded:
             from .sharded import sharded_might_contain
 
-            filters, n_shards = self._sharded[name]
+            filters, n_shards, _ = self._sharded[name]
             return sharded_might_contain(
                 df, key_col, filters, n_shards, out_col, probe_salt
             )
@@ -234,6 +245,162 @@ class SketchCatalog:
 
     def names(self) -> list[str]:
         return sorted(set(self._sketches) | set(self._sharded))
+
+    # -- persistence --------------------------------------------------
+    # The nightly-roll workflow outlives any one driver: tonight's batch
+    # job builds the filters and saves the catalog; tomorrow's serving
+    # session (or a restarted driver) loads it and probes the same names.
+    # Same commit discipline as the novelty store (novelty.py:198-259):
+    # new state is written aside under a generation nobody reads, the
+    # manifest is atomically os.replace'd as the single commit point,
+    # and only then are superseded generations swept — a crash at any
+    # step leaves the previous catalog fully loadable.
+
+    _MANIFEST_VERSION = 1
+
+    def save(self, path: str) -> dict:
+        """Persist every entry under ``path``; returns the manifest.
+
+        Broadcast entries land in one parquet table per generation
+        (``entries-g<N>/`` — rows of (name, type, payload, digest);
+        catalog sketches are broadcastable by definition, so this table
+        is megabytes). Sharded entries registered with ``source_path``
+        persist as manifest POINTERS (no copy — the table may be
+        terabytes and already lives at rest); ones without are
+        materialized into ``sharded/<name>-g<N>/``. Local-filesystem
+        manifest swap via ``os.replace``; on an object store use its
+        conditional-put for the same commit point."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        prev = self._read_manifest(path)
+        gen = (prev.get("generation", -1) + 1) if prev else 0
+        entries: dict = {}
+        if self._sketches:
+            edir = os.path.join(path, f"entries-g{gen}")
+            rows = [
+                (
+                    n,
+                    s.TYPE,
+                    bytearray(s.to_bytes()),
+                    self._digests[n],
+                )
+                for n, s in sorted(self._sketches.items())
+            ]
+            self.spark.createDataFrame(
+                rows, "name string, type string, payload binary, digest string"
+            ).coalesce(1).write.mode("overwrite").parquet(edir)
+            for n, s in self._sketches.items():
+                entries[n] = {
+                    "kind": "broadcast",
+                    "type": s.TYPE,
+                    "digest": self._digests[n],
+                }
+        for n, (filters, n_shards, src) in sorted(self._sharded.items()):
+            if src is None:
+                src = os.path.join(path, f"sharded/{n}-g{gen}")
+                filters.write.mode("overwrite").parquet(src)
+                copied = True
+            else:
+                copied = False
+            entries[n] = {
+                "kind": "sharded",
+                "path": src,
+                "n_shards": n_shards,
+                "copied": copied,
+            }
+        manifest = {
+            "version": self._MANIFEST_VERSION,
+            "generation": gen,
+            "prefix": self.prefix,
+            "entries": entries,
+        }
+        mpath = os.path.join(path, "manifest.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mpath)  # the commit point
+        # sweep superseded generations (and any aside dirs a crashed
+        # earlier save leaked) — everything g-suffixed below gen
+        import re
+        import shutil
+
+        pat = re.compile(r"-g(\d+)$")
+        roots = [path, os.path.join(path, "sharded")]
+        for root in roots:
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                m = pat.search(d)
+                if m and int(m.group(1)) < gen:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        return manifest
+
+    @staticmethod
+    def _read_manifest(path: str) -> dict:
+        import json
+        import os
+
+        mpath = os.path.join(path, "manifest.json")
+        if not os.path.exists(mpath):
+            return {}
+        with open(mpath) as f:
+            return json.load(f)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, prefix: str | None = None
+    ) -> "SketchCatalog":
+        """Revive a saved catalog: every name probes again — broadcast
+        entries re-broadcast from the entries table, sharded entries
+        re-read (lazily) from their recorded parquet paths. ``prefix``
+        defaults to the one saved, so the SQL surface comes back under
+        the same three function names."""
+        import os
+
+        from ..sketch.base import sketch_from_bytes
+
+        man = cls._read_manifest(path)
+        if not man:
+            raise FileNotFoundError(f"no catalog manifest at {path}")
+        if man.get("version") != cls._MANIFEST_VERSION:
+            raise ValueError(
+                f"catalog manifest version {man.get('version')!r} not "
+                f"supported (this build reads {cls._MANIFEST_VERSION}); "
+                "re-save with a matching library version"
+            )
+        cat = cls(spark, prefix or man["prefix"])
+        gen = man["generation"]
+        broadcast_names = {
+            n for n, e in man["entries"].items() if e["kind"] == "broadcast"
+        }
+        if broadcast_names:
+            edir = os.path.join(path, f"entries-g{gen}")
+            for r in spark.read.parquet(edir).collect():
+                if r["name"] not in broadcast_names:
+                    continue
+                cat.put(r["name"], sketch_from_bytes(bytes(r["payload"])))
+                if cat._digests[r["name"]] != r["digest"]:
+                    raise ValueError(
+                        f"catalog entry {r['name']!r} payload digest "
+                        "mismatch — entries table corrupt or tampered"
+                    )
+        for n, e in man["entries"].items():
+            if e["kind"] != "sharded":
+                continue
+            cat.put_sharded(
+                n,
+                spark.read.parquet(e["path"]),
+                n_shards=e["n_shards"],
+                # a copied table belongs to THIS catalog dir; re-saving
+                # must materialize a fresh generation, not point at one
+                # the next sweep deletes
+                source_path=None if e.get("copied") else e["path"],
+            )
+        return cat
 
     def _rebind(self) -> None:
         # snapshot dicts: executors see exactly the entries live at the
