@@ -97,6 +97,41 @@ def q_sql_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-roll workflow across a DRIVER RESTART, end-to-end:
+    tonight's job builds a filter, puts it in a SketchCatalog and saves
+    the catalog to disk; the serving session loads it back (manifest →
+    generation parquet → digest-checked payload → re-broadcast) and
+    prunes with the revived SQL function before the exact IN-subquery
+    confirm. Save/load must preserve zero false negatives, so the
+    result is exact (the bloom only ever prunes). Mirrors what survives
+    in a real deployment: the catalog directory, not the driver."""
+    import os
+    import tempfile
+
+    from sprout_spark.spark.sql import SketchCatalog
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    n = orders.count()
+    bf = build_sketch(orders, "o_custkey", lambda: BloomFilter(n + 10, 0.01))
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "cat")
+        saved = SketchCatalog(spark, prefix="pcat").put("ordkeys", bf)
+        saved.save(path)
+        revived = SketchCatalog.load(spark, path)
+        # byte-identical payload through the trip (digest re-derived on
+        # load's put, compared against the builder's)
+        assert revived._digests == saved._digests
+    customer.createOrReplaceTempView("customer_v")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT c_custkey FROM customer_v "
+        "WHERE pcat_might_contain('ordkeys', c_custkey) "
+        "AND c_custkey IN (SELECT o_custkey FROM orders_v)"
+    )
+
+
 def q_sharded_bloom_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-broadcast membership: per-shard filters probed through a
     cogrouped shard join (no filter broadcast anywhere — the path that
@@ -1393,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbf_recall_users": q_sbf_recall_users,
         "bloom_semijoin_customers": q_bloom_semijoin_customers,
         "sql_bloom_semijoin": q_sql_bloom_semijoin,
+        "catalog_persisted_probe": q_catalog_persisted_probe,
         "sharded_bloom_recall": q_sharded_bloom_recall,
         "sharded_sbf_recall": q_sharded_sbf_recall,
         "bloom_fpr_bound": q_bloom_fpr_bound,
@@ -1675,6 +1711,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "sql_bloom_semijoin": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "catalog_persisted_probe": (
             "SELECT c_custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
