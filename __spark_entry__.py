@@ -1053,6 +1053,56 @@ def q_dedup_lines_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_keep_first(docs2, "doc_id", "text")
 
 
+def _docs_with_injected_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no PII (TESTDATA.md), so both engines
+    derive the same dirty corpus deterministically from doc_id: one PII
+    kind appended per residue class mod 7 (classes 5-6 stay clean).
+    Arithmetic on doc_id only — no hash — so the DuckDB mirror is exact
+    string equality."""
+    docs = load(spark, sf_dir, "documents")
+    d, t = F.col("doc_id"), F.col("text")
+    return docs.withColumn(
+        "text",
+        F.when(d % 7 == 0, F.concat(
+            t, F.lit(" reach me at user"), d.cast("string"),
+            F.lit("@example.com")))
+        .when(d % 7 == 1, F.concat(
+            t, F.lit(" ssn 123-45-"),
+            F.lpad((d % 10000).cast("string"), 4, "0")))
+        .when(d % 7 == 2, F.concat(t, F.lit(" card 4111 1111 1111 1111")))
+        .when(d % 7 == 3, F.concat(
+            t, F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1")))
+        .when(d % 7 == 4, F.concat(
+            t, F.lit(" call +1 (415) 555-01"),
+            F.lpad((d % 100).cast("string"), 2, "0")))
+        .otherwise(t),
+    )
+
+
+def q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (functions/pii.py) over the injected corpus:
+    per-doc redacted text + per-kind staged counts. Pure JVM codegen
+    regexes in the Java∩RE2 portable subset — the identical pattern
+    strings drive the DuckDB oracle, so the match is exact, not
+    approximate. Map-only: zero shuffle at any scale."""
+    from sprout_spark.functions.pii import redact_pii
+
+    dirty = _docs_with_injected_pii(spark, sf_dir)
+    return redact_pii(dirty, "text").select(
+        "doc_id", "text", "pii_email", "pii_ssn", "pii_card", "pii_ipv4",
+        "pii_phone", "pii_total",
+    )
+
+
+def q_pii_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII report (docs affected + total matches per kind)
+    — the quarantine-decision aggregate, one scan."""
+    from sprout_spark.functions.pii import pii_stats
+
+    dirty = _docs_with_injected_pii(spark, sf_dir)
+    return pii_stats(dirty, "text")
+
+
 def q_media_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only multimodal aggregation: per-kind counts + pixel
     totals never touch the payload column (Catalyst prunes the blob —
@@ -1467,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate_docs,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
+        "pii_redact_docs": q_pii_redact_docs,
+        "pii_stats_docs": q_pii_stats_docs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -1699,6 +1751,63 @@ WHERE n_ws_tokens >= 5 AND 4 * n_punct <= n_chars
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
 LIMIT 100
 """
+
+
+_PII_INJECT_SQL = """
+SELECT doc_id,
+  CASE
+    WHEN doc_id % 7 = 0 THEN text || ' reach me at user'
+      || CAST(doc_id AS VARCHAR) || '@example.com'
+    WHEN doc_id % 7 = 1 THEN text || ' ssn 123-45-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    WHEN doc_id % 7 = 2 THEN text || ' card 4111 1111 1111 1111'
+    WHEN doc_id % 7 = 3 THEN text || ' from 10.0.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.1'
+    WHEN doc_id % 7 = 4 THEN text || ' call +1 (415) 555-01'
+      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+    ELSE text
+  END AS text
+FROM documents
+"""
+
+
+def _pii_oracle_sql(stats: bool = False) -> str:
+    """DuckDB mirror of redact_pii over the injected corpus, generated
+    from the SAME PII_PATTERNS dict the Spark path uses (patterns are
+    Java∩RE2 portable by construction, so one string drives both
+    engines). Staged CTEs replicate the specificity-order semantics:
+    each kind counts and rewrites the PREVIOUS stage's text."""
+    from sprout_spark.functions.pii import PII_PATTERNS
+
+    ctes = [f"inj AS ({_PII_INJECT_SQL})"]
+    src, txt = "inj", "text"
+    kinds = list(PII_PATTERNS)
+    for i, kind in enumerate(kinds):
+        pat, token = PII_PATTERNS[kind]
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT *, "
+            f"coalesce(len(regexp_extract_all({txt}, '{p}')), 0) "
+            f"AS pii_{kind}, "
+            f"regexp_replace({txt}, '{p}', '{token}', 'g') AS t{i} "
+            f"FROM {src})"
+        )
+        src, txt = f"s{i}", f"t{i}"
+    total = " + ".join(f"pii_{k}" for k in kinds)
+    if stats:
+        arms = " UNION ALL ".join(
+            f"SELECT '{k}' AS kind, "
+            f"sum(CASE WHEN pii_{k} > 0 THEN 1 ELSE 0 END) AS docs_affected, "
+            f"sum(pii_{k}) AS matches FROM {src}"
+            for k in kinds
+        )
+        return "WITH " + ", ".join(ctes) + " " + arms
+    cols = ", ".join(f"pii_{k}" for k in kinds)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, {txt} AS text, {cols}, {total} AS pii_total "
+        + f"FROM {src}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2061,4 +2170,6 @@ FROM (
         # per-shard-SBF gate, so one oracle serves both.
         "kv_store_get": _KV_GET_SQL,
         "kv_store_sharded_get": _KV_GET_SQL,
+        "pii_redact_docs": _pii_oracle_sql(),
+        "pii_stats_docs": _pii_oracle_sql(stats=True),
     }
