@@ -120,6 +120,11 @@ def _min_label_components(pairs):
         # bloom-pruned verify (nearly every line is a suspect)
         "strip_boilerplate_docs",
         "dedup_lines_keep_first",
+        # PII scrub: one map-only regex projection per engine — strictly
+        # linear; sf0.1 adds corpus text that exercises the patterns
+        # against real digit runs, not just the injected strings
+        "pii_redact_docs",
+        "pii_stats_docs",
     ],
 )
 def test_full_oracle_at_sf01(spark01, ddb, name):
