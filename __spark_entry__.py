@@ -1103,6 +1103,32 @@ def q_pii_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(dirty, "text")
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: the 48-bit md5-prefix unit
+    coordinate (exact double — power-of-two denominator) against
+    cumulative fraction bands. Map-only, zero shuffle; membership is a
+    pure function of doc_id, so it is stable under corpus growth."""
+    from sprout_spark.operators.corpus import split_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    return split_corpus(docs, "doc_id", _SPLIT_FRACTIONS).select(
+        "doc_id", "split"
+    )
+
+
+def q_shuffle_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard assignment (shard, pos): one exchange
+    on the shard id + per-shard in-task sort — the plan that writes N
+    reproducibly-shuffled training shard files."""
+    from sprout_spark.operators.corpus import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+
+
 def q_media_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only multimodal aggregation: per-kind counts + pixel
     totals never touch the payload column (Catalyst prunes the blob —
@@ -1519,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_keep_first": q_dedup_lines_keep_first,
         "pii_redact_docs": q_pii_redact_docs,
         "pii_stats_docs": q_pii_stats_docs,
+        "split_corpus_documents": q_split_corpus_documents,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -1808,6 +1836,35 @@ def _pii_oracle_sql(stats: bool = False) -> str:
         + f" SELECT doc_id, {txt} AS text, {cols}, {total} AS pii_total "
         + f"FROM {src}"
     )
+
+
+def _split_oracle_sql() -> str:
+    """DuckDB mirror of split_corpus: thresholds are accumulated in
+    Python with the SAME float additions the Spark path performs and
+    emitted via repr(), so both engines compare the identical doubles
+    (0.8 + 0.1 is 0.9000000000000001 in both or in neither)."""
+    arms, hi = [], 0.0
+    for name, frac in _SPLIT_FRACTIONS.items():
+        hi += frac
+        arms.append(f"WHEN u < {hi!r} THEN '{name}'")
+    return (
+        "SELECT doc_id, CASE " + " ".join(arms) + " ELSE NULL END AS split "
+        "FROM (SELECT doc_id, "
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+        f"/ {float(1 << 48)!r} AS u FROM documents)"
+    )
+
+
+_SHUFFLE_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS o
+  FROM documents
+)
+SELECT doc_id, CAST(o % 8 AS INT) AS shard,
+       row_number() OVER (PARTITION BY o % 8 ORDER BY o, doc_id) - 1 AS pos
+FROM h
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2172,4 +2229,6 @@ FROM (
         "kv_store_sharded_get": _KV_GET_SQL,
         "pii_redact_docs": _pii_oracle_sql(),
         "pii_stats_docs": _pii_oracle_sql(stats=True),
+        "split_corpus_documents": _split_oracle_sql(),
+        "shuffle_shards_documents": _SHUFFLE_SHARDS_SQL,
     }

@@ -125,6 +125,10 @@ def _min_label_components(pairs):
         # against real digit runs, not just the injected strings
         "pii_redact_docs",
         "pii_stats_docs",
+        # corpus organization: split is map-only, shuffle-shard is one
+        # window per shard — both linear in both engines
+        "split_corpus_documents",
+        "shuffle_shards_documents",
     ],
 )
 def test_full_oracle_at_sf01(spark01, ddb, name):
