@@ -1103,6 +1103,37 @@ def q_pii_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(dirty, "text")
 
 
+def q_exact_quantile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-guided EXACT price percentiles (operators/quantile.py):
+    a t-digest navigates rank brackets, exactness is paid only inside a
+    bounded bracket — no global sort. max_bracket_rows is set below the
+    table size so the narrowing loop genuinely runs at sf0.01+. The
+    values are elements of the data (type-1 rank), so the DuckDB
+    quantile_disc oracle compares them exactly."""
+    from sprout_spark.operators.quantile import exact_quantile
+
+    li = load(spark, sf_dir, "lineitem")
+    qs = {
+        f"p{int(q * 100):02d}": exact_quantile(
+            li, "l_extendedprice", q, max_bracket_rows=5000
+        )
+        for q in (0.05, 0.5, 0.95, 0.99)
+    }
+    return spark.createDataFrame([qs])
+
+
+def q_trim_docs_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier trim with EXACT reproducible boundaries: documents inside
+    the [p05, p95] band of n_chars — the drop-the-pathological-tails
+    step with engine-portable cut points."""
+    from sprout_spark.operators.quantile import trim_by_quantile
+
+    docs = load(spark, sf_dir, "documents")
+    return trim_by_quantile(
+        docs, "n_chars", 0.05, 0.95, max_bracket_rows=100
+    ).select("doc_id")
+
+
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1547,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats_docs": q_pii_stats_docs,
         "split_corpus_documents": q_split_corpus_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
+        "exact_quantile_lineitem": q_exact_quantile_lineitem,
+        "trim_docs_length_band": q_trim_docs_length_band,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -2231,4 +2264,20 @@ FROM (
         "pii_stats_docs": _pii_oracle_sql(stats=True),
         "split_corpus_documents": _split_oracle_sql(),
         "shuffle_shards_documents": _SHUFFLE_SHARDS_SQL,
+        "exact_quantile_lineitem": (
+            "SELECT "
+            + ", ".join(
+                f"quantile_disc(CAST(l_extendedprice AS DOUBLE), {q}) "
+                f"AS p{int(q * 100):02d}"
+                for q in (0.05, 0.5, 0.95, 0.99)
+            )
+            + " FROM lineitem WHERE l_extendedprice IS NOT NULL"
+        ),
+        "trim_docs_length_band": (
+            "SELECT doc_id FROM documents WHERE n_chars IS NOT NULL "
+            "AND n_chars >= (SELECT quantile_disc(CAST(n_chars AS DOUBLE), "
+            "0.05) FROM documents WHERE n_chars IS NOT NULL) "
+            "AND n_chars <= (SELECT quantile_disc(CAST(n_chars AS DOUBLE), "
+            "0.95) FROM documents WHERE n_chars IS NOT NULL)"
+        ),
     }

@@ -129,6 +129,10 @@ def _min_label_components(pairs):
         # window per shard — both linear in both engines
         "split_corpus_documents",
         "shuffle_shards_documents",
+        # sketch-guided exact quantiles: a handful of pruned scans per
+        # engine; sf0.1 forces several narrowing passes on lineitem
+        "exact_quantile_lineitem",
+        "trim_docs_length_band",
     ],
 )
 def test_full_oracle_at_sf01(spark01, ddb, name):
