@@ -1103,6 +1103,22 @@ def q_pii_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(dirty, "text")
 
 
+def q_cross_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup: the train-vs-reference dedup step (new
+    crawl against existing corpus / train against eval at NEAR-dup
+    level) — LSH join between two tables over disjoint doc_id slices,
+    exact-verified. max_bucket=None: exact DuckDB cross-Jaccard oracle
+    parity (production runs use the product-cap guard)."""
+    from sprout_spark.operators.dedup import near_dup_pairs_between
+
+    docs = load(spark, sf_dir, "documents")
+    left = docs.where(F.col("doc_id") % 3 != 0)
+    right = docs.where(F.col("doc_id") % 3 == 0)
+    return near_dup_pairs_between(
+        left, right, "doc_id", "text", threshold=0.9, max_bucket=None
+    ).select("a", "b")
+
+
 def q_exact_quantile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-guided EXACT price percentiles (operators/quantile.py):
     a t-digest navigates rank brackets, exactness is paid only inside a
@@ -1580,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "exact_quantile_lineitem": q_exact_quantile_lineitem,
         "trim_docs_length_band": q_trim_docs_length_band,
+        "cross_near_dup_pairs": q_cross_near_dup_pairs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -2264,6 +2281,24 @@ FROM (
         "pii_stats_docs": _pii_oracle_sql(stats=True),
         "split_corpus_documents": _split_oracle_sql(),
         "shuffle_shards_documents": _SHUFFLE_SHARDS_SQL,
+        # cross form of _JACCARD_PAIRS_SQL: left slice x right slice,
+        # no a<b (sides are distinct tables), same tokenizer
+        "cross_near_dup_pairs": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS t
+  FROM documents WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM tok l JOIN tok r ON l.t = r.t
+  WHERE l.doc_id % 3 != 0 AND r.doc_id % 3 = 0
+  GROUP BY 1, 2
+)
+SELECT a, b
+FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
+""",
         "exact_quantile_lineitem": (
             "SELECT "
             + ", ".join(

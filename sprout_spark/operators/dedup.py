@@ -893,3 +893,127 @@ def drop_contained(
         df[id_col].cast("bigint") == trims["_trim_id"],
         "left_anti",
     )
+
+
+def lsh_candidate_pairs_between(
+    left_bands: DataFrame,
+    right_bands: DataFrame,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
+) -> DataFrame:
+    """Cross-corpus LSH candidates: join LEFT and RIGHT band rows on
+    (band, bh) → distinct (a=left id, b=right id). The shuffle carries
+    the same 12-byte band rows as the self-join path; documents never
+    move.
+
+    Hot-bucket guard, cross form: a bucket emits nl·nr pairs, so the
+    guard caps the PRODUCT. Over the cap, ``oversize_mode="star"``
+    pairs every left member with the bucket's min right id and every
+    right member with the min left id — O(nl+nr) per bucket, and any
+    left doc whose match group dominates the bucket stays connected to
+    a right representative (the cross analogue of the self-join star:
+    per-pair recall inside mixed oversized buckets is traded for
+    bounded candidates). ``"drop"`` discards oversized buckets;
+    ``max_bucket=None`` disables the guard (oracle paths)."""
+    if max_bucket is None:
+        return (
+            left_bands.select("band", "bh", F.col("id").alias("a"))
+            .join(
+                right_bands.select("band", "bh", F.col("id").alias("b")),
+                ["band", "bh"],
+            )
+            .select("a", "b")
+            .distinct()
+        )
+    if oversize_mode not in ("star", "drop"):
+        raise ValueError("oversize_mode must be 'star' or 'drop'")
+    # per-bucket (size, min id) summaries: map-side partial aggregation,
+    # one row per (band, bh) — the summary join is bucket-count sized
+    lsum = left_bands.groupBy("band", "bh").agg(
+        F.count("*").alias("_nl"), F.min("id").alias("_minl")
+    )
+    rsum = right_bands.groupBy("band", "bh").agg(
+        F.count("*").alias("_nr"), F.min("id").alias("_minr")
+    )
+    sized = lsum.join(rsum, ["band", "bh"])
+    ok = sized.where(F.col("_nl") * F.col("_nr") <= max_bucket)
+    pairs = (
+        left_bands.join(ok.select("band", "bh"), ["band", "bh"])
+        .select("band", "bh", F.col("id").alias("a"))
+        .join(
+            right_bands.select("band", "bh", F.col("id").alias("b")),
+            ["band", "bh"],
+        )
+        .select("a", "b")
+    )
+    if oversize_mode == "star":
+        over = sized.where(F.col("_nl") * F.col("_nr") > max_bucket)
+        star_l = (
+            left_bands.join(
+                over.select("band", "bh", "_minr"), ["band", "bh"]
+            )
+            .select(F.col("id").alias("a"), F.col("_minr").alias("b"))
+        )
+        star_r = (
+            right_bands.join(
+                over.select("band", "bh", "_minl"), ["band", "bh"]
+            )
+            .select(F.col("_minl").alias("a"), F.col("id").alias("b"))
+        )
+        pairs = pairs.union(star_l).union(star_r)
+    return pairs.distinct()
+
+
+def near_dup_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    band_r: int = 4,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs, exact-verified: (a, b, jaccard)
+    with ``a`` from LEFT and ``b`` from RIGHT — "dedupe the new crawl
+    against the existing corpus" / "decontaminate training data against
+    an eval set at NEAR-dup level" (the fingerprint-intersection
+    decontamination catches verbatim overlap; this catches paraphrased
+    or lightly-edited overlap at the configured Jaccard).
+
+    Both sides run the SAME seeded minhash kernel, so signatures are
+    comparable across tables by construction. Columns named ``id_col``/
+    ``text_col`` must exist on both sides; ids are not required to be
+    disjoint (the pair is (left id, right id) — interpretation is the
+    caller's join back to either table)."""
+    def clean(d: DataFrame) -> DataFrame:
+        return d.where(
+            F.length(F.regexp_replace(F.col(text_col), r"\s", "")) > 0
+        )
+
+    lc, rc = clean(left), clean(right)
+    lb = minhash_band_rows(lc, id_col, text_col, n_hashes, band_r, shingle_k)
+    rb = minhash_band_rows(rc, id_col, text_col, n_hashes, band_r, shingle_k)
+    cands = lsh_candidate_pairs_between(lb, rb, max_bucket, oversize_mode)
+    mk = token_sets if shingle_k == 1 else (
+        lambda d, i, t: shingle_sets(d, i, t, shingle_k)
+    )
+    ta = mk(lc, id_col, text_col).select(
+        F.col("id").alias("a"), F.col("tokens").alias("ta")
+    )
+    tb = mk(rc, id_col, text_col).select(
+        F.col("id").alias("b"), F.col("tokens").alias("tb")
+    )
+    return (
+        cands.join(ta, "a")
+        .join(tb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
