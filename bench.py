@@ -414,6 +414,47 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
             docs, ["lang"], "doc_id", 100, hash_mode="xxhash64"
         ).count(),
     )
+    # PII scrub on the TILED corpus: pure map-only regex chain — this is
+    # the per-scan cost a 100-TB scrub pays, nothing else
+    from sprout_spark.functions.pii import redact_pii
+
+    timed(
+        "pii_redact_docs",
+        lambda: redact_pii(docs, "text").select(F.sum("pii_total")).collect(),
+    )
+    # shuffle-shard on the TILED corpus (xxhash64 throughput path): one
+    # exchange on the shard id + per-shard sort — the write-shards plan
+    from sprout_spark.operators.corpus import shuffle_shards
+
+    timed(
+        "shuffle_shards_docs",
+        lambda: shuffle_shards(
+            docs, "doc_id", 32, hash_mode="xxhash64"
+        ).select(F.max("pos")).collect(),
+    )
+    # sketch-guided exact quantile: bracket forced below corpus size so
+    # the t-digest narrowing loop actually runs (the 10^12-row shape)
+    from sprout_spark.operators.quantile import exact_quantile
+
+    timed(
+        "exact_quantile_doc_len",
+        lambda: exact_quantile(
+            docs.select(F.length("text").alias("len")), "len", 0.95,
+            max_bracket_rows=2000,
+        ),
+    )
+    # cross-corpus near-dup on the UNTILED corpus split 2:1 — guarded
+    # (product cap) like the self-join bench above
+    from sprout_spark.operators.dedup import near_dup_pairs_between
+
+    timed(
+        "cross_near_dup_docs",
+        lambda: near_dup_pairs_between(
+            docs0.where(F.col("doc_id") % 3 != 0),
+            docs0.where(F.col("doc_id") % 3 == 0),
+            "doc_id", "text", threshold=0.9, max_bucket=256,
+        ).count(),
+    )
 
     dim = len(emb.select("embedding").first()[0])
     cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=16)
