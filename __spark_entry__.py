@@ -1103,6 +1103,18 @@ def q_pii_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(dirty, "text")
 
 
+def q_heavy_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter 3-grams (≥0.008% of occurrences — non-empty
+    at every test SF): Misra-Gries proposes (no-FN sizing enforced), one
+    broadcast semi-join confirms — the answer is exact, so plain SQL
+    matches. The full-key groupBy never happens; only candidate grams
+    shuffle."""
+    from sprout_spark.operators.ngrams import heavy_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    return heavy_ngrams(docs, "text", k=3, phi=0.00008)
+
+
 def q_cross_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus near-dup: the train-vs-reference dedup step (new
     crawl against existing corpus / train against eval at NEAR-dup
@@ -1597,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantile_lineitem": q_exact_quantile_lineitem,
         "trim_docs_length_band": q_trim_docs_length_band,
         "cross_near_dup_pairs": q_cross_near_dup_pairs,
+        "heavy_ngrams_docs": q_heavy_ngrams_docs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
         "media_audio_features": q_media_audio_features,
@@ -2315,4 +2328,23 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
             "AND n_chars <= (SELECT quantile_disc(CAST(n_chars AS DOUBLE), "
             "0.95) FROM documents WHERE n_chars IS NOT NULL)"
         ),
+        # exact phi-heavy 3-grams with multiplicity: same tokenizer as the
+        # Spark side (trim, \s+ split, docs with <3 tokens contribute
+        # nothing); threshold multiplied as DOUBLE to match Python floats
+        "heavy_ngrams_docs": """
+WITH g AS (
+  SELECT unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+  FROM (
+    SELECT string_split_regex(
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+    FROM documents
+    WHERE length(regexp_replace(text, '\\s', '', 'g')) > 0
+  ) WHERE len(t) >= 3
+),
+c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram),
+tot AS (SELECT sum(cnt) AS total FROM c)
+SELECT ngram, cnt FROM c, tot
+WHERE cnt >= CAST(0.00008 AS DOUBLE) * total
+""",
     }
