@@ -422,6 +422,15 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         "pii_redact_docs",
         lambda: redact_pii(docs, "text").select(F.sum("pii_total")).collect(),
     )
+    # heavy 3-grams on the TILED corpus: gram explode + MG partials +
+    # candidate-only confirm groupBy — the full-key shuffle never runs,
+    # which is the whole point of the propose/confirm plan at 100 TB
+    from sprout_spark.operators.ngrams import heavy_ngrams
+
+    timed(
+        "heavy_ngrams_docs",
+        lambda: heavy_ngrams(docs, "text", k=3, phi=0.00008).count(),
+    )
     # shuffle-shard on the TILED corpus (xxhash64 throughput path): one
     # exchange on the shard id + per-shard sort — the write-shards plan
     from sprout_spark.operators.corpus import shuffle_shards
