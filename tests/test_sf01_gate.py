@@ -133,6 +133,10 @@ def _min_label_components(pairs):
         # engine; sf0.1 forces several narrowing passes on lineitem
         "exact_quantile_lineitem",
         "trim_docs_length_band",
+        # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
+        # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
+        # exercises the MG propose/confirm margin at its tightest
+        "heavy_ngrams_docs",
     ],
 )
 def test_full_oracle_at_sf01(spark01, ddb, name):
