@@ -1547,6 +1547,21 @@ def q_ann_ivf_appended_batch_topk(
     return spark.createDataFrame(rows, "qid bigint, rank bigint, id bigint")
 
 
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/sessions.py) over the events
+    table — the transcript/clickstream primitive (turns -> conversations,
+    events -> visits): one row per (user, session) at a 30-minute
+    inactivity gap with start, event count, and duration. One shuffle on
+    the key; lag marks the breaks, a RANGE-frame running sum numbers the
+    sessions (timestamp ties share a session in any tie order — the same
+    invariance the DuckDB window oracle relies on). All arithmetic is
+    integer microseconds, so the rows are bit-identical to the oracle."""
+    from sprout_spark.operators.sessions import session_stats
+
+    events = load(spark, sf_dir, "events")
+    return session_stats(events, "user_id", "ts", 1800.0)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1624,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample_documents": q_budget_sample_documents,
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
+        "session_stats_events": q_session_stats_events,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2266,6 +2282,24 @@ FROM (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS wstart, "
             "count(*) AS n_rows, true AS est_ok "
             "FROM events GROUP BY 1"
+        ),
+        "session_stats_events": (
+            # the batch sessionizer's exact SQL twin: lag marks breaks,
+            # a RANGE-frame cumsum numbers sessions (tie-order invariant:
+            # tied rows share one cumulative break count), group to per-
+            # session stats; integer-microsecond arithmetic throughout
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+            "b AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)), "
+            "s AS (SELECT user_id, us, sum(brk) OVER ("
+            "PARTITION BY user_id ORDER BY us "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ") AS session_idx FROM b) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "min(us) AS session_start_us, count(*) AS n_events, "
+            "max(us) - min(us) AS duration_us "
+            "FROM s GROUP BY user_id, session_idx"
         ),
         "stratified_sample_documents": (
             "SELECT lang, doc_id FROM ("

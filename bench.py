@@ -441,6 +441,18 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
             docs, "doc_id", 32, hash_mode="xxhash64"
         ).select(F.max("pos")).collect(),
     )
+    # gap sessionization over events: ONE exchange on the key, lag +
+    # RANGE cumsum in-task, map-side-partial stats — the sessionizer a
+    # 100-TB transcript table pays exactly once
+    from sprout_spark.operators.sessions import session_stats
+
+    events_b = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    timed(
+        "session_stats_events",
+        lambda: session_stats(events_b, "user_id", "ts", 1800.0)
+        .select(F.max("n_events"))
+        .collect(),
+    )
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile

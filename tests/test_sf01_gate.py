@@ -133,6 +133,9 @@ def _min_label_components(pairs):
         # engine; sf0.1 forces several narrowing passes on lineitem
         "exact_quantile_lineitem",
         "trim_docs_length_band",
+        # sessionization: one windowed pass per engine (lag + cumsum +
+        # group) — linear; sf0.1 stresses per-key window volume
+        "session_stats_events",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
