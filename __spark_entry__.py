@@ -1562,6 +1562,39 @@ def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(events, "user_id", "ts", 1800.0)
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py) — point-in-time enrichment: each
+    purchase event picks up the user's latest prior (inclusive)
+    signup/error status. One shuffle total (union + key window), no Join
+    node; semantics are exactly DuckDB's native ASOF LEFT JOIN, which is
+    the oracle. The right side is aggregated to one row per (user, ts)
+    because ASOF is ambiguous under duplicate right timestamps."""
+    from sprout_spark.operators.asof import asof_join
+    from sprout_spark.operators.sessions import event_us
+
+    events = load(spark, sf_dir, "events")
+    left = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        events.where(F.col("event_type").isin("signup", "error"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("status"))
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", ["status"], matched_ts_col="status_us"
+    )
+    # no-match sentinel: -1 instead of NULL in the numeric column (a
+    # NULL bigint round-trips as NaN through the oracle's pandas bridge)
+    return out.select(
+        "event_id",
+        "user_id",
+        event_us(F.col("ts")).alias("us"),
+        "status",
+        F.coalesce(F.col("status_us"), F.lit(-1)).alias("status_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1640,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
         "session_stats_events": q_session_stats_events,
+        "asof_join_events": q_asof_join_events,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2300,6 +2334,20 @@ FROM (
             "min(us) AS session_start_us, count(*) AS n_events, "
             "max(us) - min(us) AS duration_us "
             "FROM s GROUP BY user_id, session_idx"
+        ),
+        "asof_join_events": (
+            # DuckDB's NATIVE ASOF LEFT JOIN is the oracle — inclusive
+            # (l.ts >= r.ts), latest prior per key, NULLs when none;
+            # right side pre-aggregated to one row per (user, ts)
+            "WITH l AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, ts, max(event_type) AS status "
+            "FROM events WHERE event_type IN ('signup', 'error') "
+            "GROUP BY 1, 2) "
+            "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS us, "
+            "r.status, coalesce(epoch_us(r.ts), -1) AS status_us "
+            "FROM l ASOF LEFT JOIN r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "stratified_sample_documents": (
             "SELECT lang, doc_id FROM ("

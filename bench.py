@@ -453,6 +453,25 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         .select(F.max("n_events"))
         .collect(),
     )
+    # as-of join: purchases pick up the latest prior signup/error state —
+    # ONE exchange (union + key window), no Join node; the plan a 100-TB
+    # fact-to-dimension-history enrichment pays
+    from sprout_spark.operators.asof import asof_join
+
+    def _asof():
+        left = events_b.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        right = events_b.where(
+            F.col("event_type").isin("signup", "error")
+        ).select("user_id", "ts", F.col("event_type").alias("status"))
+        return (
+            asof_join(left, right, "user_id", "ts", ["status"])
+            .where(F.col("status").isNotNull())
+            .count()
+        )
+
+    timed("asof_join_events", _asof)
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile

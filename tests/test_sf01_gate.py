@@ -136,6 +136,9 @@ def _min_label_components(pairs):
         # sessionization: one windowed pass per engine (lag + cumsum +
         # group) — linear; sf0.1 stresses per-key window volume
         "session_stats_events",
+        # as-of join: one union+window pass vs DuckDB's native sort-based
+        # ASOF — both linear; sf0.1 stresses carry-forward chain length
+        "asof_join_events",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
