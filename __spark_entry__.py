@@ -1595,6 +1595,24 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py) — the GPT-style concat-
+    and-split manifest: documents laid end-to-end per shard in a
+    deterministic pseudorandom (md5) order, cut every 2048 weight units;
+    one row per (doc, sequence) span. Every sequence except a shard's
+    last is exactly full. One exchange on the shard id; the cumsum and
+    span explode run in-task. The oracle replays the identical
+    construction as a window cumsum + generate_series."""
+    from sprout_spark.operators.packing import pack_spans
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    return pack_spans(
+        docs, "doc_id", "n_chars", budget=2048, n_shards=8, hash_mode="md5"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1674,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_hll_events": q_windowed_hll_events,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
+        "pack_spans_documents": q_pack_spans_documents,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2348,6 +2367,24 @@ FROM (
             "r.status, coalesce(epoch_us(r.ts), -1) AS status_us "
             "FROM l ASOF LEFT JOIN r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "pack_spans_documents": (
+            # identical construction replayed in SQL: 48-bit md5 shard +
+            # order, per-shard ROWS cumsum, one span per budget boundary
+            # a document crosses (generate_series is inclusive)
+            "WITH h AS (SELECT doc_id, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT "
+            "AS o, CAST(n_chars AS BIGINT) AS w FROM documents "
+            "WHERE n_chars IS NOT NULL AND n_chars > 0), "
+            "c AS (SELECT doc_id, CAST(o % 8 AS INT) AS shard, w, "
+            "sum(w) OVER (PARTITION BY o % 8 ORDER BY o, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS e FROM h) "
+            "SELECT doc_id, shard, CAST(seq AS BIGINT) AS seq, "
+            "CAST(greatest(seq * 2048 - (e - w), 0) AS BIGINT) AS doc_from, "
+            "CAST(least((seq + 1) * 2048 - (e - w), w) AS BIGINT) AS doc_to "
+            "FROM c, UNNEST(generate_series("
+            "CAST((e - w) // 2048 AS BIGINT), "
+            "CAST((e - 1) // 2048 AS BIGINT))) AS t(seq)"
         ),
         "stratified_sample_documents": (
             "SELECT lang, doc_id FROM ("

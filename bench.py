@@ -472,6 +472,22 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         )
 
     timed("asof_join_events", _asof)
+    # sequence packing on the TILED corpus (weights from length(text)):
+    # concat-and-split manifest = one shard exchange + in-task cumsum +
+    # span explode; greedy = the per-shard Arrow kernel (loop per pack)
+    from sprout_spark.operators.packing import pack_greedy, pack_spans
+
+    docs_w = docs.select("doc_id", F.length("text").alias("w"))
+    timed(
+        "pack_spans_docs",
+        lambda: pack_spans(docs_w, "doc_id", "w", 2048, 64).count(),
+    )
+    timed(
+        "pack_greedy_docs",
+        lambda: pack_greedy(
+            docs_w, "doc_id", "w", 4096, 64, oversize="own_pack"
+        ).count(),
+    )
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile

@@ -139,6 +139,9 @@ def _min_label_components(pairs):
         # as-of join: one union+window pass vs DuckDB's native sort-based
         # ASOF — both linear; sf0.1 stresses carry-forward chain length
         "asof_join_events",
+        # sequence packing: window cumsum + span explode per engine —
+        # linear; sf0.1 packs ~50k docs into ~8 shards of sequences
+        "pack_spans_documents",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
