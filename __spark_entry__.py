@@ -1613,6 +1613,18 @@ def q_pack_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py) — the
+    embedding/RAG preprocessing step: 64-token windows every 48 tokens
+    (16-token overlap), one row per chunk with the token range and the
+    single-space-joined chunk text. Pure JVM, zero shuffle; the oracle
+    replays the identical construction with list_slice/generate_series."""
+    from sprout_spark.operators.chunking import chunk_text
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", size=64, overlap=16)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1693,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
         "pack_spans_documents": q_pack_spans_documents,
+        "chunk_documents": q_chunk_documents,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2385,6 +2398,22 @@ FROM (
             "FROM c, UNNEST(generate_series("
             "CAST((e - w) // 2048 AS BIGINT), "
             "CAST((e - 1) // 2048 AS BIGINT))) AS t(seq)"
+        ),
+        "chunk_documents": (
+            # identical window construction: trim/split tokenization (the
+            # package convention), ceil chunk count, inclusive list_slice
+            "WITH d AS (SELECT doc_id, string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks "
+            "FROM documents WHERE text IS NOT NULL AND "
+            "length(regexp_replace(text, '\\s', '', 'g')) > 0), "
+            "n AS (SELECT doc_id, toks, len(toks) AS n FROM d), "
+            "c AS (SELECT doc_id, toks, n, CAST(CASE WHEN n <= 64 THEN 1 "
+            "ELSE 1 + ceil((n - 64) / 48.0) END AS BIGINT) AS k FROM n) "
+            "SELECT doc_id, i AS chunk_idx, i * 48 AS tok_from, "
+            "least(i * 48 + 64, n) AS tok_to, "
+            "array_to_string(list_slice(toks, i * 48 + 1, "
+            "least(i * 48 + 64, n)), ' ') AS chunk_text "
+            "FROM c, UNNEST(generate_series(0, k - 1)) AS t(i)"
         ),
         "stratified_sample_documents": (
             "SELECT lang, doc_id FROM ("

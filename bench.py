@@ -488,6 +488,14 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
             docs_w, "doc_id", "w", 4096, 64, oversize="own_pack"
         ).count(),
     )
+    # chunking on the TILED corpus: row-local split + window explode —
+    # zero shuffle; this is the per-scan cost of an embedding pre-pass
+    from sprout_spark.operators.chunking import chunk_text
+
+    timed(
+        "chunk_docs",
+        lambda: chunk_text(docs, "doc_id", "text", 64, 16).count(),
+    )
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile

@@ -142,6 +142,8 @@ def _min_label_components(pairs):
         # sequence packing: window cumsum + span explode per engine —
         # linear; sf0.1 packs ~50k docs into ~8 shards of sequences
         "pack_spans_documents",
+        # chunking: row-local window explode per engine — linear
+        "chunk_documents",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
