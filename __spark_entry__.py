@@ -1625,6 +1625,26 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(docs, "doc_id", "text", size=64, overlap=16)
 
 
+def q_resolve_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DECISION chain under one gate: LSH pairs ->
+    connected components -> keep-best-per-cluster (highest n_chars, ties
+    to the smaller doc_id; singletons survive). The oracle replays it as
+    recursive-CTE closure over the exact Jaccard pair graph + a window
+    top-1 — equality proves pairs, clustering, AND the survivor policy."""
+    from sprout_spark.operators.dedup import (
+        duplicate_clusters,
+        near_dup_pairs,
+        resolve_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, "doc_id", "text", threshold=0.9, max_bucket=None)
+    clusters = duplicate_clusters(pairs)
+    return resolve_duplicates(docs, "doc_id", clusters, "n_chars").select(
+        "doc_id", "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1706,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "pack_spans_documents": q_pack_spans_documents,
         "chunk_documents": q_chunk_documents,
+        "resolve_dup_docs": q_resolve_dup_docs,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2135,6 +2156,26 @@ reach(id, r) AS (
   SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
 )
 SELECT id, min(r) AS cluster FROM reach GROUP BY id
+""",
+        "resolve_dup_docs": f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+edges AS (SELECT a, b FROM jp UNION SELECT b AS a, a AS b FROM jp),
+reach(id, r) AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+j AS (
+  SELECT d.doc_id, d.n_chars, coalesce(cl.cluster, d.doc_id) AS grp
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+)
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+  FROM j
+) WHERE rn = 1
 """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based

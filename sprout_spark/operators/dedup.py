@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..hashing import murmur3_64_packed, pack_arrow
@@ -1016,4 +1016,49 @@ def near_dup_pairs_between(
         )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    quality_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE survivor per duplicate cluster — the standard resolution
+    step after :func:`duplicate_clusters`: within each cluster the
+    highest-``quality_col`` member survives (NULL quality sorts last;
+    ties break on ``tie_col``, default ``id_col``, ascending — fully
+    deterministic, so a re-run keeps the same documents). Documents
+    absent from ``clusters`` are singletons and always survive. Returns
+    the surviving rows of ``df`` with all columns intact.
+
+    Plan: one equality join on the id (broadcast when the assignment
+    table is small — Catalyst/AQE decides) + one window shuffle on the
+    cluster label; the window's per-group work is a top-1, which Spark
+    runs as a map-side WindowGroupLimit before the exchange, so the
+    shuffle carries one candidate row per (cluster, partition), not the
+    corpus.
+    """
+    if "id" not in clusters.columns or "cluster" not in clusters.columns:
+        raise ValueError("clusters must have (id, cluster) columns")
+    tie = tie_col or id_col
+    for tmp in ("__grp", "__rn", "__cl_id", "__cl"):
+        if tmp in df.columns:
+            raise ValueError(f"reserved column name {tmp!r} in input")
+    cl = clusters.select(
+        F.col("id").alias("__cl_id"), F.col("cluster").alias("__cl")
+    )
+    joined = df.join(cl, df[id_col] == cl["__cl_id"], "left").withColumn(
+        "__grp",
+        F.coalesce(F.col("__cl"), F.col(id_col).cast(cl.schema["__cl"].dataType)),
+    )
+    w = Window.partitionBy("__grp").orderBy(
+        F.col(quality_col).desc_nulls_last(), F.col(tie).asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*df.columns)
     )
