@@ -1645,6 +1645,19 @@ def q_resolve_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms (operators/terms.py): top-5 by
+    tf-idf in ``rarity`` mode (score = tf/df — IEEE division only, so
+    the float ranking is bit-identical in DuckDB; the standard
+    smooth-log idf is pytest-gated because ln differs across engines in
+    the last ulp). Four-stage JVM plan; the final top-k runs as a
+    map-side WindowGroupLimit."""
+    from sprout_spark.operators.terms import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5, idf="rarity")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1727,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_spans_documents": q_pack_spans_documents,
         "chunk_documents": q_chunk_documents,
         "resolve_dup_docs": q_resolve_dup_docs,
+        "top_terms_documents": q_top_terms_documents,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2177,6 +2191,24 @@ SELECT doc_id, n_chars FROM (
   FROM j
 ) WHERE rn = 1
 """,
+        "top_terms_documents": (
+            # rarity idf: tf/df is plain IEEE division — bit-identical
+            # ranking in both engines (ties break on the term string)
+            "WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) "
+            "AS term FROM documents WHERE text IS NOT NULL AND "
+            "length(regexp_replace(text, '\\s', '', 'g')) > 0), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY 1, 2), "
+            "dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            "GROUP BY 1) "
+            "SELECT doc_id, term, tf, df, score, rank FROM ("
+            "SELECT tf.doc_id, tf.term, tf.tf, dfs.df, "
+            "tf.tf * 1.0 / dfs.df AS score, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf * 1.0 / dfs.df DESC, tf.term) AS rank "
+            "FROM tf JOIN dfs USING (term)) WHERE rank <= 5"
+        ),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based
         # variants, which DuckDB reproduces bit-for-bit (md5 is the one

@@ -496,6 +496,14 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         "chunk_docs",
         lambda: chunk_text(docs, "doc_id", "text", 64, 16).count(),
     )
+    # tf-idf top terms on the TILED corpus: token tf/df groupBys + term
+    # join + map-side top-k — shuffles carry (id/term, counts) only
+    from sprout_spark.operators.terms import tfidf_top_terms
+
+    timed(
+        "top_terms_docs",
+        lambda: tfidf_top_terms(docs, "doc_id", "text", 5).count(),
+    )
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile

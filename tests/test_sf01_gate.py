@@ -144,6 +144,9 @@ def _min_label_components(pairs):
         "pack_spans_documents",
         # chunking: row-local window explode per engine — linear
         "chunk_documents",
+        # tf-idf top terms: token groupBys + one join + window top-k —
+        # linear in corpus token count in both engines
+        "top_terms_documents",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
