@@ -1658,6 +1658,61 @@ def q_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=5, idf="rarity")
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (operators/profile.py) under the oracle gate: the
+    exact facts (rows, NULLs, min/max strings) must match SQL exactly;
+    the sketch estimates are Spark-verified booleans (HLL within 3
+    sigma of the exact distinct; t-digest median within the [0.45,
+    0.55] exact rank band) asserted true — the windowed_hll_events
+    pattern for estimates with no SQL twin."""
+    from sprout_spark.operators.profile import profile_table
+
+    ev = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    prof = {r["column"]: r for r in profile_table(ev, cols).collect()}
+    hll_cols = ["event_id", "user_id", "event_type", "ts"]
+    exact = ev.agg(
+        *[F.countDistinct(c).alias(f"d_{c}") for c in hll_cols],
+        *[
+            F.sum((F.col(c) <= prof[c]["p50_est"]).cast("bigint")).alias(
+                f"r_{c}"
+            )
+            for c in ("event_id", "user_id", "value")
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    bound = 3 * 1.04 / math.sqrt(1 << 14)
+    rows = []
+    for c in cols:
+        p = prof[c]
+        d_ok = True
+        if c in hll_cols:
+            d_ok = bool(
+                abs(p["distinct_est"] - exact[f"d_{c}"])
+                <= bound * exact[f"d_{c}"] + 1
+            )
+        p50_ok = True
+        if c in ("event_id", "user_id", "value"):
+            nn = p["n_rows"] - p["n_null"]
+            p50_ok = bool(0.45 <= exact[f"r_{c}"] / nn <= 0.55)
+        rows.append(
+            (
+                c,
+                p["n_rows"],
+                p["n_null"],
+                p["min_str"],
+                p["max_str"],
+                d_ok,
+                p50_ok,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_null bigint, min_str string, "
+        "max_str string, distinct_ok boolean, p50_ok boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1741,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "resolve_dup_docs": q_resolve_dup_docs,
         "top_terms_documents": q_top_terms_documents,
+        "profile_events": q_profile_events,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2208,6 +2264,19 @@ SELECT doc_id, n_chars FROM (
             "row_number() OVER (PARTITION BY tf.doc_id "
             "ORDER BY tf.tf * 1.0 / dfs.df DESC, tf.term) AS rank "
             "FROM tf JOIN dfs USING (term)) WHERE rank <= 5"
+        ),
+        "profile_events": (
+            # exact facts per column straight from SQL aggregates; the
+            # estimate booleans are Spark-verified (no SQL twin) and
+            # asserted true — one UNION ALL arm per profiled column
+            " UNION ALL ".join(
+                "SELECT '{c}' AS column, count(*) AS n_rows, "
+                "count(*) - count({c}) AS n_null, "
+                "CAST(min({c}) AS VARCHAR) AS min_str, "
+                "CAST(max({c}) AS VARCHAR) AS max_str, "
+                "true AS distinct_ok, true AS p50_ok FROM events".format(c=c)
+                for c in ("event_id", "user_id", "event_type", "value", "ts")
+            )
         ),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based

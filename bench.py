@@ -504,6 +504,14 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         "top_terms_docs",
         lambda: tfidf_top_terms(docs, "doc_id", "text", 5).count(),
     )
+    # table profiler over events: 2 scans total for ALL columns (one
+    # JVM exact agg + one multi-sketch Arrow pass) — the report-card op
+    from sprout_spark.operators.profile import profile_table
+
+    timed(
+        "profile_events",
+        lambda: profile_table(events_b).count(),
+    )
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile
