@@ -5,8 +5,14 @@ level heavy-hitter probes (`operators/ngrams.py` finds globally frequent
 grams; this finds what distinguishes EACH document from the corpus).
 
 Plan (all JVM, four stages, each a standard shuffle):
-  tokenize/explode -> (doc, term) counts [shuffle 1: tf]
-                   -> per-term distinct-doc counts [shuffle 2: df]
+  tokenize/explode -> (doc, term) counts [shuffle 1: tf — materialized
+                      ONCE via an eager localCheckpoint, because three
+                      branches consume it and column pruning defeats
+                      exchange reuse; calling the operator therefore
+                      runs that first job eagerly]
+                   -> per-term doc counts over tf [shuffle 2: df — tf
+                      rows are distinct (doc, term) pairs, so df is a
+                      plain map-side-combined count]
                    -> tf JOIN df on the term [shuffle 3; the corpus size
                       N rides a broadcast 1-row cross join, never a
                       driver-side action]
@@ -66,13 +72,27 @@ def tfidf_top_terms(
         .where(F.col("__t") != "")
         .select(id_col, F.explode(F.split("__t", r"\s+")).alias("term"))
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf is consumed by three branches (the join probe side, per-term
+    # doc counts, and the corpus size N). Exchange reuse does NOT kick
+    # in — column pruning specializes each branch's aggregate, so the
+    # subtrees stop being canonically equal and Spark would re-run the
+    # token explode + (id, term) shuffle once PER BRANCH (measured 3x
+    # the cost at sf0.1). An eager localCheckpoint materializes tf once
+    # (ContextCleaner-managed, the ann batch-probe pattern); tf carries
+    # (id, term, count) — far smaller than the text it came from — and
+    # df is then a plain count over it (tf rows are distinct (doc,
+    # term) pairs), map-side-combined before the term shuffle.
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dft = (
-        tok.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .where(F.col("df") >= min_df)
     )
-    n = tok.agg(F.countDistinct(id_col).alias("__n"))
+    n = tf.agg(F.countDistinct(id_col).alias("__n"))
     scored = tf.join(dft, "term").crossJoin(F.broadcast(n))
     if idf == "smooth_log":
         score = F.col("tf") * (
