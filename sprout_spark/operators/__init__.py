@@ -1,5 +1,8 @@
-"""Training-data pipeline operators: dedup, similarity, multimodal."""
+"""Training-data pipeline operators: dedup, similarity, sessionization,
+enrichment (as-of), packing/chunking, profiling, multimodal."""
 
+from .asof import asof_join
+from .chunking import chunk_text
 from .dedup import (
     containment_pairs,
     drop_contained,
@@ -12,6 +15,7 @@ from .dedup import (
     near_dup_pairs,
     simhash_near_dup_pairs,
     simhash_near_dup_pairs_portable,
+    resolve_duplicates,
     simhash_signatures,
     simhash_signatures_portable,
     token_sets,
@@ -30,7 +34,10 @@ from .multimodal import (
     sample_video_frames,
     synthesize_media,
 )
+from .packing import pack_greedy, pack_spans
+from .profile import profile_table
 from .sampling import budget_sample, stratified_sample
+from .sessions import session_stats, sessionize
 from .similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -50,3 +57,4 @@ from .similarity import (
     train_ivf_centroids,
     with_cosine,
 )
+from .terms import tfidf_top_terms
