@@ -93,6 +93,11 @@ def asof_join(
     missing = [c for c in value_cols if c not in right.columns]
     if missing:
         raise ValueError(f"value_cols not on right side: {missing}")
+    if "ord" in value_cols:
+        raise ValueError(
+            "value column name 'ord' is reserved (the match-ordinal field "
+            "of the carried payload struct); rename it on the right side"
+        )
     out_names = {}
     for c in value_cols:
         name = f"{c}_r" if c in left.columns else c
