@@ -1713,6 +1713,20 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encode_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary + encoding (operators/vocab.py): build the corpus's
+    top-1000 vocabulary (count >= 2; ids = 0-based rank in the total
+    (count desc, term) order — deterministic at any parallelism) and
+    rewrite every document as (doc_id, pos, token_id) rows with OOV=-1.
+    One oracle covers BOTH steps: a wrong vocabulary cut, id
+    assignment, token order, or OOV decision all break the equality."""
+    from sprout_spark.operators.vocab import build_vocab, encode_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", max_size=1000, min_count=2)
+    return encode_tokens(docs, "doc_id", "text", vocab, oov_id=-1)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1797,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_dup_docs": q_resolve_dup_docs,
         "top_terms_documents": q_top_terms_documents,
         "profile_events": q_profile_events,
+        "encode_tokens_documents": q_encode_tokens_documents,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2277,6 +2292,24 @@ SELECT doc_id, n_chars FROM (
                 "true AS distinct_ok, true AS p50_ok FROM events".format(c=c)
                 for c in ("event_id", "user_id", "event_type", "value", "ts")
             )
+        ),
+        "encode_tokens_documents": (
+            # identical construction: convention tokenization, vocab =
+            # top-1000 by (count desc, term) with count >= 2, 0-based
+            # ids, left join with OOV -1
+            "WITH tok AS (SELECT doc_id, unnest(toks) AS term, "
+            "generate_subscripts(toks, 1) - 1 AS pos "
+            "FROM (SELECT doc_id, string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks "
+            "FROM documents WHERE text IS NOT NULL AND "
+            "length(regexp_replace(text, '\\s', '', 'g')) > 0)), "
+            "vocab AS (SELECT term, row_number() OVER ("
+            "ORDER BY count(*) DESC, term) - 1 AS term_id "
+            "FROM tok GROUP BY term HAVING count(*) >= 2 "
+            "QUALIFY row_number() OVER (ORDER BY count(*) DESC, term) "
+            "<= 1000) "
+            "SELECT doc_id, pos, coalesce(term_id, -1) AS token_id "
+            "FROM tok LEFT JOIN vocab USING (term)"
         ),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based

@@ -512,6 +512,15 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         "profile_events",
         lambda: profile_table(events_b).count(),
     )
+    # vocab + encoding on the TILED corpus: counts + TakeOrdered top-k,
+    # then the broadcast-join rewrite — the id-sequence writer's cost
+    from sprout_spark.operators.vocab import build_vocab, encode_tokens
+
+    def _encode():
+        v = build_vocab(docs, "text", max_size=4096, min_count=2)
+        return encode_tokens(docs, "doc_id", "text", v).count()
+
+    timed("encode_tokens_docs", _encode)
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile

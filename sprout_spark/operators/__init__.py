@@ -58,3 +58,4 @@ from .similarity import (
     with_cosine,
 )
 from .terms import tfidf_top_terms
+from .vocab import build_vocab, collect_ids, encode_tokens
