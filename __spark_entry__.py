@@ -1727,6 +1727,29 @@ def q_encode_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_tokens(docs, "doc_id", "text", vocab, oov_id=-1)
 
 
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis (operators/stats.py): top-10 hottest event keys
+    with their row share — the measurement behind every 'salt or split?'
+    decision this package documents. One map-side-combined groupBy +
+    TakeOrdered; share = n/total is IEEE division on the same ints in
+    both engines."""
+    from sprout_spark.operators.stats import key_skew_stats
+
+    return key_skew_stats(load(spark, sf_dir, "events"), "user_id", k=10)
+
+
+def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram (operators/stats.py) of
+    l_extendedprice in 16 bins — bounds from the column's own min/max
+    via a broadcast 1-row cross join; identical floor/width expressions
+    in both engines make bins AND edges bit-equal."""
+    from sprout_spark.operators.stats import column_histogram
+
+    return column_histogram(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice", bins=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1812,6 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_documents": q_top_terms_documents,
         "profile_events": q_profile_events,
         "encode_tokens_documents": q_encode_tokens_documents,
+        "key_skew_events": q_key_skew_events,
+        "histogram_lineitem": q_histogram_lineitem,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2310,6 +2335,30 @@ SELECT doc_id, n_chars FROM (
             "<= 1000) "
             "SELECT doc_id, pos, coalesce(term_id, -1) AS token_id "
             "FROM tok LEFT JOIN vocab USING (term)"
+        ),
+        "key_skew_events": (
+            "SELECT key, n, n * 1.0 / (SELECT count(*) FROM events) AS "
+            "share, row_number() OVER (ORDER BY n DESC, key) AS rank "
+            "FROM (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n "
+            "FROM events GROUP BY 1) QUALIFY rank <= 10"
+        ),
+        "histogram_lineitem": (
+            # the IDENTICAL floor/width expressions — bit-equal bins and
+            # edges; the closed top edge clamps via least()
+            "WITH b AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo, "
+            "max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem), "
+            "binned AS (SELECT CAST(least(floor("
+            "(CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 16.0)"
+            "), 15) AS BIGINT) AS bin FROM lineitem, b "
+            "WHERE l_extendedprice IS NOT NULL), "
+            "bins AS (SELECT unnest(generate_series(0, 15)) AS bin) "
+            "SELECT bins.bin, lo + bins.bin * ((hi - lo) / 16.0) AS lo_edge, "
+            "CASE WHEN bins.bin = 15 THEN hi "
+            "ELSE lo + (bins.bin + 1) * ((hi - lo) / 16.0) END AS hi_edge, "
+            "coalesce(n, 0) AS n "
+            "FROM bins CROSS JOIN b LEFT JOIN "
+            "(SELECT bin, count(*) AS n FROM binned GROUP BY 1) c "
+            "ON bins.bin = c.bin"
         ),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based

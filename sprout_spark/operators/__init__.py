@@ -38,6 +38,7 @@ from .packing import pack_greedy, pack_spans
 from .profile import profile_table
 from .sampling import budget_sample, stratified_sample
 from .sessions import session_stats, sessionize
+from .stats import column_histogram, key_skew_stats
 from .similarity import (
     ann_ivf_topk,
     ann_lsh_topk,

@@ -157,6 +157,9 @@ def _min_label_components(pairs):
         # vocab + encoding: token groupBy + TakeOrdered + broadcast
         # join per engine — linear in corpus token count
         "encode_tokens_documents",
+        # skew + histogram diagnostics: one aggregate per engine
+        "key_skew_events",
+        "histogram_lineitem",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
