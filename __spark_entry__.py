@@ -1750,6 +1750,19 @@ def q_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence assembly (operators/sequences.py) — the transcript
+    primitive in the assembly direction (turns -> a conversation
+    document): each user's event types joined in (ts, event_id) order.
+    The order proof lives INSIDE the aggregation (array_sort over
+    structs; collect_list alone is shuffle-nondeterministic), so the
+    oracle's ORDER BY string_agg reproduces it exactly."""
+    from sprout_spark.operators.sequences import assemble_sequences
+
+    ev = load(spark, sf_dir, "events")
+    return assemble_sequences(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1837,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_tokens_documents": q_encode_tokens_documents,
         "key_skew_events": q_key_skew_events,
         "histogram_lineitem": q_histogram_lineitem,
+        "user_event_sequences": q_user_event_sequences,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2359,6 +2373,11 @@ SELECT doc_id, n_chars FROM (
             "FROM bins CROSS JOIN b LEFT JOIN "
             "(SELECT bin, count(*) AS n FROM binned GROUP BY 1) c "
             "ON bins.bin = c.bin"
+        ),
+        "user_event_sequences": (
+            "SELECT user_id, string_agg(event_type, ' ' "
+            "ORDER BY ts NULLS FIRST, event_id NULLS FIRST, event_type) "
+            "AS seq, count(*) AS n FROM events GROUP BY user_id"
         ),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based

@@ -37,6 +37,7 @@ from .multimodal import (
 from .packing import pack_greedy, pack_spans
 from .profile import profile_table
 from .sampling import budget_sample, stratified_sample
+from .sequences import assemble_sequences
 from .sessions import session_stats, sessionize
 from .stats import column_histogram, key_skew_stats
 from .similarity import (
