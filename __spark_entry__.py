@@ -1763,6 +1763,30 @@ def q_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_sequences(ev, "user_id", ["ts", "event_id"], "event_type")
 
 
+def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED training-prep pipeline under one oracle: chunk every
+    document into 64-token windows (48-token step), then pack the
+    chunks' token counts into 256-token training sequences across 4
+    shards (concat-and-split manifest, portable md5 layout). One row
+    per (chunk, sequence) span. A wrong chunk boundary, token count,
+    shard assignment, layout order, or cut point anywhere in the chain
+    breaks the equality — this is the compose-proof for the round-5
+    operators, the `pipeline_corpus_clean` pattern."""
+    from sprout_spark.operators.chunking import chunk_text
+    from sprout_spark.operators.packing import pack_spans
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "doc_id", "text", size=64, overlap=16)
+    weighted = chunks.select(
+        F.concat_ws(":", "doc_id", "chunk_idx").alias("chunk_id"),
+        (F.col("tok_to") - F.col("tok_from")).alias("n_tokens"),
+    )
+    return pack_spans(
+        weighted, "chunk_id", "n_tokens", budget=256, n_shards=4,
+        hash_mode="md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1851,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_events": q_key_skew_events,
         "histogram_lineitem": q_histogram_lineitem,
         "user_event_sequences": q_user_event_sequences,
+        "pipeline_training_prep": q_pipeline_training_prep,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2378,6 +2403,33 @@ SELECT doc_id, n_chars FROM (
             "SELECT user_id, string_agg(event_type, ' ' "
             "ORDER BY ts NULLS FIRST, event_id NULLS FIRST, event_type) "
             "AS seq, count(*) AS n FROM events GROUP BY user_id"
+        ),
+        "pipeline_training_prep": (
+            # the full chain in SQL: chunk windows -> token counts ->
+            # md5 shard/layout -> per-shard cumsum -> span explode
+            "WITH d AS (SELECT doc_id, string_split_regex("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks "
+            "FROM documents WHERE text IS NOT NULL AND "
+            "length(regexp_replace(text, '\\s', '', 'g')) > 0), "
+            "nn AS (SELECT doc_id, len(toks) AS n FROM d), "
+            "ck AS (SELECT doc_id, toks_n.n, CAST(CASE WHEN n <= 64 THEN 1 "
+            "ELSE 1 + ceil((n - 64) / 48.0) END AS BIGINT) AS k "
+            "FROM nn AS toks_n), "
+            "chunks AS (SELECT doc_id || ':' || i AS chunk_id, "
+            "least(i * 48 + 64, n) - i * 48 AS w "
+            "FROM ck, UNNEST(generate_series(0, k - 1)) AS t(i)), "
+            "h AS (SELECT chunk_id, "
+            "('0x' || substr(md5(chunk_id), 1, 12))::BIGINT AS o, "
+            "CAST(w AS BIGINT) AS w FROM chunks), "
+            "c AS (SELECT chunk_id, CAST(o % 4 AS INT) AS shard, w, "
+            "sum(w) OVER (PARTITION BY o % 4 ORDER BY o, chunk_id "
+            "ROWS UNBOUNDED PRECEDING) AS e FROM h) "
+            "SELECT chunk_id, shard, CAST(seq AS BIGINT) AS seq, "
+            "CAST(greatest(seq * 256 - (e - w), 0) AS BIGINT) AS doc_from, "
+            "CAST(least((seq + 1) * 256 - (e - w), w) AS BIGINT) AS doc_to "
+            "FROM c, UNNEST(generate_series("
+            "CAST((e - w) // 256 AS BIGINT), "
+            "CAST((e - 1) // 256 AS BIGINT))) AS t(seq)"
         ),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based

@@ -163,6 +163,9 @@ def _min_label_components(pairs):
         # sequence assembly: one grouped sort-agg per engine — linear;
         # sf0.1 gives ~600k-event per-user sequences
         "user_event_sequences",
+        # composed chunk->pack chain: windows + cumsum + series per
+        # engine — linear end to end
+        "pipeline_training_prep",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
