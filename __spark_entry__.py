@@ -1787,6 +1787,25 @@ def q_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED transcript chain: sessionize (30-min gap) -> per-SESSION
+    event sequences (sequence assembly keyed on (user, session)). One
+    row per session with its ordered event-type string — the
+    conversation-document shape built from raw events. Both operators'
+    semantics gate together: a wrong session boundary moves events
+    between sequences, a wrong order scrambles one."""
+    from sprout_spark.operators.sequences import assemble_sequences
+    from sprout_spark.operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800.0)
+    keyed = s.withColumn(
+        "skey",
+        F.concat_ws(":", F.col("user_id"), F.col("session_idx")),
+    )
+    return assemble_sequences(keyed, "skey", ["ts", "event_id"], "event_type")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1876,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_lineitem": q_histogram_lineitem,
         "user_event_sequences": q_user_event_sequences,
         "pipeline_training_prep": q_pipeline_training_prep,
+        "session_event_sequences": q_session_event_sequences,
         "kv_store_get": q_kv_store_get,
         "kv_store_sharded_get": lambda spark, sf_dir: q_kv_store_get(
             spark, sf_dir, gate="sharded"
@@ -2430,6 +2450,24 @@ SELECT doc_id, n_chars FROM (
             "FROM c, UNNEST(generate_series("
             "CAST((e - w) // 256 AS BIGINT), "
             "CAST((e - 1) // 256 AS BIGINT))) AS t(seq)"
+        ),
+        "session_event_sequences": (
+            # sessionizer window SQL (the session_stats_events oracle)
+            # composed with the string_agg assembly
+            "WITH e AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS us FROM events), "
+            "b AS (SELECT user_id, event_id, event_type, us, "
+            "CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)), "
+            "s AS (SELECT user_id, event_id, event_type, us, "
+            "sum(brk) OVER (PARTITION BY user_id ORDER BY us "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            ") AS session_idx FROM b) "
+            "SELECT user_id || ':' || session_idx AS skey, "
+            "string_agg(event_type, ' ' ORDER BY us NULLS FIRST, "
+            "event_id NULLS FIRST, event_type) AS seq, count(*) AS n "
+            "FROM s GROUP BY 1"
         ),
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
         # the three r1 no_oracle queries now run their portable md5-based

@@ -166,6 +166,9 @@ def _min_label_components(pairs):
         # composed chunk->pack chain: windows + cumsum + series per
         # engine — linear end to end
         "pipeline_training_prep",
+        # composed sessionize->assemble chain: two windows + a grouped
+        # sort-agg per engine — linear
+        "session_event_sequences",
         # heavy n-grams: the oracle is one linear gram groupBy; at sf0.1
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
