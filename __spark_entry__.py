@@ -1919,9 +1919,9 @@ _KV_GET_SQL = (
 )
 
 
-_JACCARD_PAIRS_SQL = """
+_JACCARD_PAIRS_SQL = r"""
 WITH tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS t
+  SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS t
   FROM documents WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
@@ -2066,7 +2066,7 @@ FROM s
 """
 
 
-_PIPELINE_CLEAN_SQL = """
+_PIPELINE_CLEAN_SQL = r"""
 WITH RECURSIVE dedup AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 ),
@@ -2074,7 +2074,7 @@ kept AS (
   SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)
 ),
 tok AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS t
+  SELECT doc_id, unnest(list_distinct(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))) AS t
   FROM kept WHERE length(regexp_replace(text, '\s', '', 'g')) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
@@ -2103,9 +2103,9 @@ survivors AS (
 q AS (
   SELECT doc_id,
          CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-              ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_ws_tokens,
+              ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_ws_tokens,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
            AS n_punct
   FROM survivors
 )
@@ -2573,7 +2573,7 @@ SELECT DISTINCT id AS doc_id FROM fps
 WHERE id % 17 != 0
   AND fp IN (SELECT fp FROM fps WHERE id % 17 = 0)
 """,
-        "repetition_stats_documents": """
+        "repetition_stats_documents": r"""
 WITH toks AS (
   SELECT doc_id,
     CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []
