@@ -1486,6 +1486,71 @@ def q_windowed_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_hll_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted sketch ROLLUP table (spark/rollup.py — the
+    continuous-aggregate shape): per-day HLL partials over events land
+    in TWO blind-append epochs (split by event_id parity — duplicate
+    window rows across epochs resolve at read time by mergeability),
+    then a [2024-01-05, 2024-01-12) range query. Returns one row per
+    in-range window: wstart, the EXACT row count through the rollup
+    (must equal the batch per-day count — proves every row landed in
+    exactly one window of exactly one epoch and the range filter is
+    [t0, t1) on the window start), an estimate-in-bound boolean per
+    window, and a range_ok boolean for the range-MERGED estimate vs the
+    batch-exact distinct count. The oracle reproduces wstart + n_rows
+    with date_trunc and asserts the booleans true."""
+    import math
+    import tempfile
+
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    t0, t1 = "2024-01-05", "2024-01-12"
+    exact = {
+        str(r["w"]): (r["n"], r["d"])
+        for r in events.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+        .groupBy(F.date_trunc("day", "ts").alias("w"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    range_d = (
+        events.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    bound = 3 * 1.04 / math.sqrt(1 << 12)
+    with tempfile.TemporaryDirectory() as td:
+        r = SketchRollup(td + "/r", factory=lambda: HyperLogLog(p=12), grain="day")
+        r.append(events.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+        r.append(events.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+        from sprout_spark.sketch.base import sketch_from_bytes
+
+        got = {
+            row["wstart"]: (row["rows"], sketch_from_bytes(row["sketch"]))
+            for row in r.windows(spark, t0, t1).collect()
+        }
+        est, nrows = r.estimate(spark, lambda s: s.estimate(), t0, t1)
+    if set(got) != set(exact):
+        raise AssertionError("rollup window set != batch window set")
+    if nrows != sum(n for n, _ in exact.values()):
+        raise AssertionError("range row count through the rollup is not exact")
+    range_ok = bool(abs(est - range_d) <= bound * range_d + 1)
+    rows = [
+        (
+            w,
+            int(got[w][0]),
+            bool(abs(got[w][1].estimate() - d) <= bound * d + 1),
+            range_ok,
+        )
+        for w, (n, d) in exact.items()
+    ]
+    return spark.createDataFrame(
+        rows, "wstart string, n_rows bigint, est_ok boolean, range_ok boolean"
+    )
+
+
 def q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN probe — top-k for a TABLE of queries in ONE job (the
     contamination-check shape). With nprobe == n_cells the IVF batch path
@@ -1883,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample_documents": q_budget_sample_documents,
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
+        "rollup_hll_user_range": q_rollup_hll_user_range,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
         "pack_spans_documents": q_pack_spans_documents,
@@ -2681,6 +2747,19 @@ FROM (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS wstart, "
             "count(*) AS n_rows, true AS est_ok "
             "FROM events GROUP BY 1"
+        ),
+        "rollup_hll_user_range": (
+            # two blind-append epochs must reproduce the exact per-day
+            # row counts inside [t0, t1) on the window start (day-grain
+            # windows with midnight bounds make ts-range == wstart-range);
+            # HLL estimates are Spark-side-verified booleans
+            # date_trunc('day') is a DATE in DuckDB — cast through
+            # TIMESTAMP so the VARCHAR rendering matches Spark's
+            "SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) "
+            "AS wstart, "
+            "count(*) AS n_rows, true AS est_ok, true AS range_ok "
+            "FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
+            "GROUP BY 1"
         ),
         "session_stats_events": (
             # the batch sessionizer's exact SQL twin: lag marks breaks,

@@ -1,0 +1,217 @@
+"""Persisted sketch rollup tables (spark/rollup.py): per-window
+correctness, blind-append mergeability, range bounds, config pinning,
+compaction, torn-write hygiene, and single-writer locking."""
+
+import datetime as dt
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sprout_spark.sketch import CountMinSketch, HyperLogLog
+from sprout_spark.spark.rollup import SketchRollup
+
+
+def _events(spark, n=3000, with_null=True):
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(n):
+        ts = base + dt.timedelta(minutes=7 * i)  # spans ~14.5 days
+        rows.append((i, ts, i % 401))
+    if with_null:
+        rows.append((n, None, 999999))
+    return spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+
+
+def _hll():
+    return HyperLogLog(p=12)
+
+
+_BOUND = 3 * 1.04 / math.sqrt(1 << 12)
+
+
+def test_rollup_windows_match_exact(spark, tmp_path):
+    df = _events(spark)
+    r = SketchRollup(str(tmp_path / "r1"), factory=_hll, grain="day")
+    n = r.append(df, "ts", "user_id")
+    assert n == 15  # 14.5 days of windows
+    exact = {
+        str(row["w"]): (row["n"], row["d"])
+        for row in df.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("w"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    got = r.windows(spark).collect()
+    assert len(got) == len(exact) == 15
+    for row in got:
+        en, ed = exact[row["wstart"]]
+        assert row["rows"] == en  # NULL-ts row never landed anywhere
+        from sprout_spark.sketch.base import sketch_from_bytes
+
+        est = sketch_from_bytes(row["sketch"]).estimate()
+        assert abs(est - ed) <= _BOUND * ed + 1
+
+
+def test_rollup_blind_append_equals_one_shot(spark, tmp_path):
+    df = _events(spark, with_null=False)
+    two = SketchRollup(str(tmp_path / "two"), factory=_hll, grain="day")
+    two.append(df.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+    two.append(df.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+    one = SketchRollup(str(tmp_path / "one"), factory=_hll, grain="day")
+    one.append(df, "ts", "user_id")
+    a = {r["wstart"]: r for r in two.windows(spark).collect()}
+    b = {r["wstart"]: r for r in one.windows(spark).collect()}
+    assert set(a) == set(b)
+    for w in a:
+        assert a[w]["rows"] == b[w]["rows"]
+        # HLL registers are max-merged: epoch-split == one-shot BYTE-for-byte
+        assert a[w]["sketch"] == b[w]["sketch"], w
+
+
+def test_rollup_range_bounds_and_query(spark, tmp_path):
+    df = _events(spark, with_null=False)
+    r = SketchRollup(str(tmp_path / "rng"), factory=_hll, grain="day")
+    r.append(df, "ts", "user_id")
+    t0, t1 = "2024-03-04", "2024-03-09 00:00:00"  # bare date normalizes
+    sel = r.windows(spark, t0, t1).collect()
+    starts = sorted(row["wstart"] for row in sel)
+    assert starts[0] == "2024-03-04 00:00:00"  # t0 inclusive
+    assert starts[-1] == "2024-03-08 00:00:00"  # t1 exclusive
+    exact = (
+        df.where(
+            (F.col("ts") >= "2024-03-04") & (F.col("ts") < "2024-03-09")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("d"), F.count("*").alias("n")
+        )
+        .collect()[0]
+    )
+    est, rows = r.estimate(spark, lambda s: s.estimate(), t0, t1)
+    assert rows == exact["n"]
+    assert abs(est - exact["d"]) <= _BOUND * exact["d"] + 1
+    # unbounded query covers everything
+    full = r.query(spark)
+    total_d = df.select("user_id").distinct().count()
+    assert abs(full.estimate() - total_d) <= _BOUND * total_d + 1
+    # empty range -> pristine sketch, zero rows
+    est0, rows0 = r.estimate(spark, lambda s: s.estimate(), "2030-01-01", "2031-01-01")
+    assert rows0 == 0 and est0 == 0
+
+
+def test_rollup_pin_refusals(spark, tmp_path):
+    p = str(tmp_path / "pin")
+    r = SketchRollup(p, factory=_hll, grain="day")
+    r.append(_events(spark, n=100, with_null=False), "ts", "user_id")
+    with pytest.raises(ValueError, match="mismatch"):
+        SketchRollup(p, factory=lambda: HyperLogLog(p=10))
+    with pytest.raises(ValueError, match="grain"):
+        SketchRollup(p, grain="hour")
+    ro = SketchRollup(p)  # open without factory: read-only windows OK
+    assert ro.windows(spark).count() > 0
+    with pytest.raises(ValueError, match="factory"):
+        ro.append(_events(spark, n=10), "ts", "user_id")
+    with pytest.raises(ValueError, match="factory"):
+        ro.query(spark)
+    # unknown manifest version refuses
+    mp = os.path.join(p, "manifest.json")
+    man = json.load(open(mp))
+    man["version"] = 99
+    json.dump(man, open(mp, "w"))
+    with pytest.raises(ValueError, match="version"):
+        SketchRollup(p)
+
+
+def test_rollup_compact_and_post_compact_append(spark, tmp_path):
+    df = _events(spark, with_null=False)
+    r = SketchRollup(str(tmp_path / "cmp"), factory=_hll, grain="day")
+    r.append(df.where(F.col("event_id") % 3 == 0), "ts", "user_id")
+    r.append(df.where(F.col("event_id") % 3 == 1), "ts", "user_id")
+    before = {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in r.windows(spark).collect()
+    }
+    n = r.compact(spark)
+    assert n == len(before)
+    assert r.epochs == [] and r.base is not None
+    # answers unchanged, folded epoch dirs swept
+    after = {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in r.windows(spark).collect()
+    }
+    assert after == before
+    assert not [d for d in os.listdir(r.path) if d.startswith("epoch=")]
+    # post-compact appends merge with the base
+    r.append(df.where(F.col("event_id") % 3 == 2), "ts", "user_id")
+    full = {row["wstart"]: row["rows"] for row in r.windows(spark).collect()}
+    exact = {
+        str(row["w"]): row["n"]
+        for row in df.groupBy(F.date_trunc("day", "ts").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert full == exact
+    # a reopened handle sees the compacted + appended state identically
+    r2 = SketchRollup(r.path, factory=_hll)
+    assert {row["wstart"]: row["rows"] for row in r2.windows(spark).collect()} == exact
+
+
+def test_rollup_torn_append_ignored_and_swept(spark, tmp_path):
+    df = _events(spark, n=200, with_null=False)
+    r = SketchRollup(str(tmp_path / "torn"), factory=_hll, grain="day")
+    r.append(df.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+    committed = r.windows(spark).agg(F.sum("rows")).collect()[0][0]
+    # a torn append: parquet landed, manifest never swapped
+    orphan = os.path.join(r.path, "epoch=99")
+    df.where(F.col("event_id") % 2 == 1).withColumn(
+        "wstart", F.date_trunc("day", "ts").cast("string")
+    ).groupBy("wstart").agg(F.count("*").alias("rows")).withColumn(
+        "sketch", F.lit(b"junk")
+    ).write.parquet(orphan)
+    assert r.windows(spark).agg(F.sum("rows")).collect()[0][0] == committed
+    r.append(df.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+    assert not os.path.exists(orphan)  # swept by the next mutation
+
+
+def test_rollup_single_writer_and_staleness(spark, tmp_path):
+    import fcntl
+
+    df = _events(spark, n=100, with_null=False)
+    p = str(tmp_path / "lock")
+    r = SketchRollup(p, factory=_hll, grain="day")
+    lf = open(os.path.join(p, ".lock"), "w")
+    fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    with pytest.raises(RuntimeError, match="another writer"):
+        r.append(df, "ts", "user_id")
+    fcntl.flock(lf, fcntl.LOCK_UN)
+    lf.close()
+    r.append(df, "ts", "user_id")
+    stale = SketchRollup(p, factory=_hll)
+    r.append(df, "ts", "user_id")  # advances the store under `stale`
+    with pytest.raises(RuntimeError, match="advanced"):
+        stale.append(df, "ts", "user_id")
+
+
+def test_rollup_weighted_cms(spark, tmp_path):
+    rows = []
+    base = dt.datetime(2024, 3, 1)
+    for i in range(500):
+        rows.append((base + dt.timedelta(hours=i % 40), f"t{i % 7}", (i % 5) + 1))
+    df = spark.createDataFrame(rows, "ts timestamp, tool string, w bigint")
+    r = SketchRollup(
+        str(tmp_path / "wcms"),
+        factory=lambda: CountMinSketch(0.001, 1e-6),
+        grain="day",
+    )
+    r.append(df, "ts", "tool", weight_col="w")
+    sk = r.query(spark)
+    exact = {
+        row["tool"]: row["s"]
+        for row in df.groupBy("tool").agg(F.sum("w").alias("s")).collect()
+    }
+    total = sum(exact.values())
+    for t, true in exact.items():
+        est = sk.estimate(t)
+        assert true <= est <= true + math.ceil(0.001 * total)
