@@ -1551,6 +1551,95 @@ def q_rollup_hll_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_type_day_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSIONED rollup (spark/rollup.py, dims=["event_type"]) — the
+    full continuous-aggregate shape: per-(day, event_type) HLL partials
+    over events land in TWO blind-append epochs, then [2024-01-05,
+    2024-01-12) range reads. One row per in-range (window, type):
+    exact n_rows through the rollup (proves the composite JSON key
+    routed every row to exactly one (window, dim) group of exactly one
+    epoch), an estimate-in-bound boolean per cell, and a range_ok
+    boolean per type for the by_dims range-merged estimate (windows
+    collapsed) vs the batch-exact per-type distinct count. The oracle
+    reproduces (wstart, event_type, n_rows) with date_trunc and asserts
+    the booleans true."""
+    import math
+    import tempfile
+
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.sketch.base import sketch_from_bytes
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    t0, t1 = "2024-01-05", "2024-01-12"
+    in_range = events.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+    exact = {
+        (str(r["w"]), r["event_type"]): (r["n"], r["d"])
+        for r in in_range.groupBy(
+            F.date_trunc("day", "ts").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    type_d = {
+        r["event_type"]: r["d"]
+        for r in in_range.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    bound = 3 * 1.04 / math.sqrt(1 << 12)
+    with tempfile.TemporaryDirectory() as td:
+        r = SketchRollup(
+            td + "/r",
+            factory=lambda: HyperLogLog(p=12),
+            grain="day",
+            dims=["event_type"],
+        )
+        r.append(events.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+        r.append(events.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+        got = {
+            (row["wstart"], row["event_type"]): (
+                row["rows"],
+                sketch_from_bytes(row["sketch"]),
+            )
+            for row in r.windows(spark, t0, t1).collect()
+        }
+        by_type = {
+            row["event_type"]: (row["estimate"], row["rows"])
+            for row in r.estimate_by(
+                spark, lambda s: s.estimate(), t0, t1
+            ).collect()
+        }
+    if set(got) != set(exact):
+        raise AssertionError("rollup (window, type) set != batch set")
+    if set(by_type) != set(type_d):
+        raise AssertionError("by_dims type set != batch type set")
+    range_ok = {
+        t: bool(abs(by_type[t][0] - d) <= bound * d + 1)
+        and by_type[t][1] == sum(n for (_, tt), (n, _) in exact.items() if tt == t)
+        for t, d in type_d.items()
+    }
+    rows = [
+        (
+            w,
+            t,
+            int(got[(w, t)][0]),
+            bool(abs(got[(w, t)][1].estimate() - d) <= bound * d + 1),
+            range_ok[t],
+        )
+        for (w, t), (n, d) in exact.items()
+    ]
+    if any(int(got[k][0]) != n for k, (n, _) in exact.items()):
+        raise AssertionError("per-(window,type) row count through the rollup is not exact")
+    return spark.createDataFrame(
+        rows,
+        "wstart string, event_type string, n_rows bigint, "
+        "est_ok boolean, range_ok boolean",
+    )
+
+
 def q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN probe — top-k for a TABLE of queries in ONE job (the
     contamination-check shape). With nprobe == n_cells the IVF batch path
@@ -1949,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_novel_docs": q_streaming_novel_docs,
         "windowed_hll_events": q_windowed_hll_events,
         "rollup_hll_user_range": q_rollup_hll_user_range,
+        "rollup_type_day_distinct": q_rollup_type_day_distinct,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
         "pack_spans_documents": q_pack_spans_documents,
@@ -2760,6 +2850,16 @@ FROM (
             "count(*) AS n_rows, true AS est_ok, true AS range_ok "
             "FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
             "GROUP BY 1"
+        ),
+        "rollup_type_day_distinct": (
+            # the dimensioned-rollup twin: per-(day, event_type) exact
+            # row counts inside [t0, t1); estimates are Spark-verified
+            # booleans (same DATE->TIMESTAMP cast note as above)
+            "SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) "
+            "AS wstart, event_type, "
+            "count(*) AS n_rows, true AS est_ok, true AS range_ok "
+            "FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
+            "GROUP BY 1, 2"
         ),
         "session_stats_events": (
             # the batch sessionizer's exact SQL twin: lag marks breaks,

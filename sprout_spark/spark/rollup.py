@@ -54,24 +54,31 @@ from .aggregate import build_grouped_sketches, collect_merged, tree_merge
 
 _GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
 _VERSION = 1
-_ROW_SCHEMA = "wstart string, sketch binary, rows bigint"
+# column names the rollup table itself owns; dims may not shadow them
+_RESERVED = ("wstart", "sketch", "rows", "__w")
 # part_id fan for the range-merge tree: 2 rounds of fanin-64 tasks
 _MERGE_PARTS = 4096
 
 
-def _merge_window_kernel(tbl: pa.Table) -> pa.Table:
-    return pa.table(
-        {
-            "wstart": pa.array([tbl.column("wstart")[0].as_py()], pa.string()),
-            "sketch": pa.array(
-                [merge_serialized(tbl.column("sketch").to_pylist())],
-                pa.binary(),
-            ),
-            "rows": pa.array(
-                [pa.compute.sum(tbl.column("rows")).as_py()], pa.int64()
-            ),
+def _merge_group_kernel(group_cols: tuple[str, ...]):
+    """applyInArrow kernel: collapse one (group_cols) group to a single
+    row — first group-key values, OR/max/centroid-merged sketch, summed
+    exact row count. Group columns are always strings by construction."""
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        cols = {
+            c: pa.array([tbl.column(c)[0].as_py()], pa.string())
+            for c in group_cols
         }
-    )
+        cols["sketch"] = pa.array(
+            [merge_serialized(tbl.column("sketch").to_pylist())], pa.binary()
+        )
+        cols["rows"] = pa.array(
+            [pa.compute.sum(tbl.column("rows")).as_py()], pa.int64()
+        )
+        return pa.table(cols)
+
+    return kernel
 
 
 def _norm_bound(t) -> str:
@@ -88,14 +95,22 @@ def _norm_bound(t) -> str:
 
 
 class SketchRollup:
-    """A persisted per-grain sketch table with blind appends.
+    """A persisted per-(grain window, dims) sketch table with blind
+    appends.
 
     Open an existing rollup with ``SketchRollup(path)`` (config comes
     from the manifest) or create one with ``SketchRollup(path,
-    factory=..., grain=...)``. The sketch config (class + parameters)
-    and grain are PINNED at creation: an append through a mismatched
-    factory would silently produce unmergeable or wrong-width partials,
-    so both refuse loudly instead.
+    factory=..., grain=..., dims=[...])``. ``dims`` adds dimension
+    columns to the rollup key (the full continuous-aggregate shape:
+    one partial per (day, tool) instead of per day), giving grouped
+    range reads (:meth:`by_dims`, :meth:`estimate_by`) and pushed
+    dim-equality filters (``where=``) on every read — dim cardinality
+    multiplies the partial count, so keep dims low-cardinality
+    (tool/source/lang), never id-like. The sketch config (class +
+    parameters), grain, and dims are PINNED at creation: an append
+    through a mismatched factory or dim set would silently produce
+    unmergeable or wrong-keyed partials, so all three refuse loudly
+    instead.
     """
 
     def __init__(
@@ -103,6 +118,7 @@ class SketchRollup:
         path: str,
         factory: Callable[[], MergeableSketch] | None = None,
         grain: str | None = None,
+        dims: list[str] | None = None,
     ):
         self.path = path
         man = self._manifest()
@@ -114,8 +130,18 @@ class SketchRollup:
             grain = grain or "hour"
             if grain not in _GRAINS:
                 raise ValueError(f"grain must be one of {_GRAINS}, got {grain!r}")
+            dims = list(dims or [])
+            if len(set(dims)) != len(dims):
+                raise ValueError(f"duplicate dimension names in {dims}")
+            for d in dims:
+                if d in _RESERVED:
+                    raise ValueError(
+                        f"dimension name {d!r} shadows a rollup-owned column "
+                        f"({_RESERVED}); rename it before ingest"
+                    )
             probe = factory()
             self.grain = grain
+            self.dims = dims
             self.pin = {
                 "cls": type(probe).__name__,
                 "meta": probe._meta(),
@@ -133,6 +159,7 @@ class SketchRollup:
                 f"not supported (this library reads version {_VERSION})"
             )
         self.grain = man["grain"]
+        self.dims = list(man.get("dims", []))
         self.pin = man["sketch"]
         self.epochs = [int(e) for e in man["epochs"]]
         self.base = man.get("base")
@@ -152,6 +179,16 @@ class SketchRollup:
                 f"rollup at {path!r} is pinned to grain {self.grain!r}; "
                 f"got grain={grain!r}"
             )
+        if dims is not None and list(dims) != self.dims:
+            raise ValueError(
+                f"rollup at {path!r} is pinned to dims {self.dims!r}; "
+                f"got dims={list(dims)!r} — partials are keyed per dim "
+                "combination, a different dim set cannot merge"
+            )
+
+    def _row_schema(self) -> str:
+        dim_part = "".join(f", `{d}` string" for d in self.dims)
+        return f"wstart string{dim_part}, sketch binary, rows bigint"
 
     # -- manifest / locking (the package commit discipline) -----------------
 
@@ -172,6 +209,7 @@ class SketchRollup:
                 {
                     "version": _VERSION,
                     "grain": self.grain,
+                    "dims": self.dims,
                     "sketch": self.pin,
                     "epoch": self.last_epoch,
                     "epochs": self.epochs,
@@ -230,12 +268,14 @@ class SketchRollup:
         salt: int = 64,
         weight_col: str | None = None,
     ) -> int:
-        """Build this batch's per-window partials and commit them as one
-        epoch. Never reads existing data — duplicate windows across
-        epochs are resolved at read time by mergeability. Rows with a
-        NULL timestamp are dropped (a window key cannot be NULL; the
-        SQL mirror is ``WHERE ts IS NOT NULL``). Returns the number of
-        window rows written."""
+        """Build this batch's per-(window, dims) partials and commit
+        them as one epoch. Never reads existing data — duplicate
+        (window, dims) rows across epochs are resolved at read time by
+        mergeability. Rows with a NULL timestamp are dropped (a window
+        key cannot be NULL; the SQL mirror is ``WHERE ts IS NOT
+        NULL``); NULL *dimension* values are kept as their own group
+        (they round-trip through the JSON composite key). Returns the
+        number of window rows written."""
         if self.factory is None:
             raise ValueError(
                 "append needs the sketch factory; reopen with factory= "
@@ -250,14 +290,37 @@ class SketchRollup:
                     F.date_trunc(self.grain, F.col(ts_col)).cast("string"),
                 )
             )
+            # composite group key: JSON keeps NULL dims and arbitrary
+            # dim content (separators, quotes) collision-free; the
+            # window always serializes (it is non-NULL by the filter)
+            key_expr = F.to_json(
+                F.struct(
+                    F.col("_wstart").alias("__w"),
+                    *[F.col(d).cast("string").alias(d) for d in self.dims],
+                ),
+                {"ignoreNullFields": "false"},
+            )
+            keyed = keyed.withColumn("__rollup_key", key_expr)
+            key_schema = "`__w` string" + "".join(
+                f", `{d}` string" for d in self.dims
+            )
             grouped = build_grouped_sketches(
                 keyed,
-                "_wstart",
+                "__rollup_key",
                 val_col,
                 self.factory,
                 salt=salt,
                 weight_col=weight_col,
-            ).withColumnRenamed("key", "wstart")
+            )
+            parsed = grouped.select(
+                F.from_json("key", key_schema).alias("__k"), "sketch", "rows"
+            )
+            grouped = parsed.select(
+                F.col("__k").getField("__w").alias("wstart"),
+                *[F.col("__k").getField(d).alias(d) for d in self.dims],
+                "sketch",
+                "rows",
+            )
             edir = os.path.join(self.path, f"epoch={epoch}")
             # parquet first; the manifest swap below is the commit point
             grouped.write.mode("overwrite").parquet(edir)
@@ -277,43 +340,114 @@ class SketchRollup:
             dirs.append(os.path.join(self.path, self.base))
         if not dirs:
             return None
-        return spark.read.schema(_ROW_SCHEMA).parquet(*dirs)
+        return spark.read.schema(self._row_schema()).parquet(*dirs)
+
+    def _filtered(
+        self, spark: SparkSession, t0, t1, where: dict | None
+    ) -> DataFrame | None:
+        """Committed rows with the range + dim-equality filters applied
+        (both land on the parquet scan as pushed predicates)."""
+        raw = self._committed(spark)
+        if raw is None:
+            return None
+        if t0 is not None:
+            raw = raw.where(F.col("wstart") >= _norm_bound(t0))
+        if t1 is not None:
+            raw = raw.where(F.col("wstart") < _norm_bound(t1))
+        for d, v in (where or {}).items():
+            if d not in self.dims:
+                raise ValueError(
+                    f"unknown dimension {d!r}; this rollup has dims "
+                    f"{self.dims!r}"
+                )
+            raw = raw.where(
+                F.col(d).isNull() if v is None else F.col(d) == str(v)
+            )
+        return raw
 
     def windows(
-        self, spark: SparkSession, t0=None, t1=None
+        self, spark: SparkSession, t0=None, t1=None, where: dict | None = None
     ) -> DataFrame:
-        """One MERGED row per grain window in ``[t0, t1)`` (bounds on
-        the window START; None = unbounded): ``(wstart string, sketch
-        binary, rows bigint)``. The range filter lands on the epoch
-        parquet scan (fixed-width timestamp strings make min/max
-        row-group pruning exact), so a narrow query over years of
-        windows reads only the matching row groups."""
-        raw = self._committed(spark)
+        """One MERGED row per (grain window, dims) in ``[t0, t1)``
+        (bounds on the window START; None = unbounded): ``(wstart
+        string, <dims…> string, sketch binary, rows bigint)``. The
+        range filter lands on the epoch parquet scan (fixed-width
+        timestamp strings make min/max row-group pruning exact), so a
+        narrow query over years of windows reads only the matching row
+        groups; ``where={dim: value}`` adds pushed dim-equality filters
+        (value None matches the NULL-dim group)."""
+        raw = self._filtered(spark, t0, t1, where)
         if raw is None:
-            return spark.createDataFrame([], _ROW_SCHEMA)
-        if t0 is not None:
-            raw = raw.where(F.col("wstart") >= _norm_bound(t0))
-        if t1 is not None:
-            raw = raw.where(F.col("wstart") < _norm_bound(t1))
-        return raw.groupBy("wstart").applyInArrow(
-            _merge_window_kernel, _ROW_SCHEMA
+            return spark.createDataFrame([], self._row_schema())
+        group = ("wstart", *self.dims)
+        return raw.groupBy(*group).applyInArrow(
+            _merge_group_kernel(group), self._row_schema()
         )
 
-    def query(self, spark: SparkSession, t0=None, t1=None) -> MergeableSketch:
-        """The range-merged sketch over ``[t0, t1)`` as a driver-side
-        object (ask it for the estimate/probe). Merging runs as a
-        bounded tree — each task folds ≤64 payloads, two rounds over a
-        4096-way hash fan — so a minute-grain rollup spanning years
-        never funnels every window through the driver."""
+    def by_dims(
+        self, spark: SparkSession, t0=None, t1=None, where: dict | None = None
+    ) -> DataFrame:
+        """One MERGED row per dim combination across the whole range
+        (windows collapsed): ``(<dims…> string, sketch binary, rows
+        bigint)`` — "per-tool distinct users over any [t0, t1)"
+        answered from partials alone."""
+        if not self.dims:
+            raise ValueError(
+                "by_dims needs a dimensioned rollup; this one was created "
+                "without dims (use windows()/query() for time-only reads)"
+            )
+        raw = self._filtered(spark, t0, t1, where)
+        schema = (
+            ", ".join(f"`{d}` string" for d in self.dims)
+            + ", sketch binary, rows bigint"
+        )
+        if raw is None:
+            return spark.createDataFrame([], schema)
+        return raw.groupBy(*self.dims).applyInArrow(
+            _merge_group_kernel(tuple(self.dims)), schema
+        )
+
+    def estimate_by(
+        self,
+        spark: SparkSession,
+        estimator: Callable[[MergeableSketch], float],
+        t0=None,
+        t1=None,
+        where: dict | None = None,
+    ) -> DataFrame:
+        """:meth:`by_dims` with the sketch payloads decoded to numbers
+        executor-side: ``(<dims…> string, estimate double, rows
+        bigint)``."""
+        dims = list(self.dims)
+        merged = self.by_dims(spark, t0, t1, where)
+
+        def fn(it):
+            for pdf in it:
+                pdf["estimate"] = [
+                    estimator(sketch_from_bytes(b)) for b in pdf["sketch"]
+                ]
+                yield pdf[dims + ["estimate", "rows"]]
+
+        schema = (
+            ", ".join(f"`{d}` string" for d in dims)
+            + ", estimate double, rows bigint"
+        )
+        return merged.mapInPandas(fn, schema)
+
+    def query(
+        self, spark: SparkSession, t0=None, t1=None, where: dict | None = None
+    ) -> MergeableSketch:
+        """The range-merged sketch over ``[t0, t1)`` (optionally
+        dim-filtered) as a driver-side object (ask it for the
+        estimate/probe). Merging runs as a bounded tree — each task
+        folds ≤64 payloads, two rounds over a 4096-way hash fan — so a
+        minute-grain rollup spanning years never funnels every window
+        through the driver."""
         if self.factory is None:
             raise ValueError("query needs the sketch factory; reopen with factory=")
-        raw = self._committed(spark)
+        raw = self._filtered(spark, t0, t1, where)
         if raw is None:
             return self.factory()
-        if t0 is not None:
-            raw = raw.where(F.col("wstart") >= _norm_bound(t0))
-        if t1 is not None:
-            raw = raw.where(F.col("wstart") < _norm_bound(t1))
         partials = raw.select(
             F.pmod(F.xxhash64("wstart"), F.lit(_MERGE_PARTS)).alias("part_id"),
             "sketch",
@@ -329,21 +463,17 @@ class SketchRollup:
         estimator: Callable[[MergeableSketch], float],
         t0=None,
         t1=None,
+        where: dict | None = None,
     ) -> tuple[float, int]:
         """``(estimator(range-merged sketch), exact row count)`` over
-        ``[t0, t1)`` — the row count is exact by construction (epoch
-        counts are exact and sum)."""
-        raw = self._committed(spark)
+        ``[t0, t1)`` (optionally dim-filtered) — the row count is exact
+        by construction (epoch counts are exact and sum)."""
+        raw = self._filtered(spark, t0, t1, where)
         rows = 0
         if raw is not None:
-            f = raw
-            if t0 is not None:
-                f = f.where(F.col("wstart") >= _norm_bound(t0))
-            if t1 is not None:
-                f = f.where(F.col("wstart") < _norm_bound(t1))
-            agg = f.agg(F.sum("rows").alias("n")).collect()[0]["n"]
+            agg = raw.agg(F.sum("rows").alias("n")).collect()[0]["n"]
             rows = int(agg) if agg is not None else 0
-        return estimator(self.query(spark, t0, t1)), rows
+        return estimator(self.query(spark, t0, t1, where)), rows
 
     # -- compact ------------------------------------------------------------
 

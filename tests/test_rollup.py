@@ -194,6 +194,134 @@ def test_rollup_single_writer_and_staleness(spark, tmp_path):
         stale.append(df, "ts", "user_id")
 
 
+def _tool_events(spark, n=2500):
+    """Events with a low-cardinality dim column; tool names include
+    JSON-hostile content (quotes, braces, commas) and NULLs so the
+    composite-key round-trip is exercised, not assumed."""
+    tools = ["search", 'qu"ote', "br{ace},x", None, "tab\there"]
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=11 * i), i % 307, tools[i % 5])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, tool string"
+    )
+
+
+def test_rollup_dims_windows_filters_and_nulls(spark, tmp_path):
+    df = _tool_events(spark)
+    r = SketchRollup(
+        str(tmp_path / "dim"), factory=_hll, grain="day", dims=["tool"]
+    )
+    r.append(df, "ts", "user_id")
+    exact = {
+        (str(row["w"]), row["tool"]): (row["n"], row["d"])
+        for row in df.groupBy(
+            F.date_trunc("day", "ts").alias("w"), "tool"
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    got = r.windows(spark).collect()
+    assert len(got) == len(exact)
+    from sprout_spark.sketch.base import sketch_from_bytes
+
+    for row in got:
+        en, ed = exact[(row["wstart"], row["tool"])]
+        assert row["rows"] == en
+        est = sketch_from_bytes(row["sketch"]).estimate()
+        assert abs(est - ed) <= _BOUND * ed + 1
+    # pushed dim-equality filter: only that tool's windows come back
+    sel = r.windows(spark, where={"tool": 'qu"ote'}).collect()
+    assert sel and all(row["tool"] == 'qu"ote' for row in sel)
+    assert sum(row["rows"] for row in sel) == sum(
+        n for (_, t), (n, _) in exact.items() if t == 'qu"ote'
+    )
+    # where={dim: None} addresses the NULL-dim group
+    nul = r.windows(spark, where={"tool": None}).collect()
+    assert nul and all(row["tool"] is None for row in nul)
+    assert sum(row["rows"] for row in nul) == sum(
+        n for (_, t), (n, _) in exact.items() if t is None
+    )
+    with pytest.raises(ValueError, match="unknown dimension"):
+        r.windows(spark, where={"nope": "x"})
+    # dim-filtered range estimate
+    t0, t1 = "2024-03-04", "2024-03-09"
+    ex = (
+        df.where(
+            (F.col("ts") >= t0) & (F.col("ts") < t1) & (F.col("tool") == "search")
+        )
+        .agg(F.countDistinct("user_id").alias("d"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    est, rows = r.estimate(
+        spark, lambda s: s.estimate(), t0, t1, where={"tool": "search"}
+    )
+    assert rows == ex["n"]
+    assert abs(est - ex["d"]) <= _BOUND * ex["d"] + 1
+
+
+def test_rollup_dims_by_dims_split_equality_and_estimate_by(spark, tmp_path):
+    df = _tool_events(spark)
+    two = SketchRollup(
+        str(tmp_path / "d2"), factory=_hll, grain="day", dims=["tool"]
+    )
+    two.append(df.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+    two.append(df.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+    one = SketchRollup(
+        str(tmp_path / "d1"), factory=_hll, grain="day", dims=["tool"]
+    )
+    one.append(df, "ts", "user_id")
+    a = {row["tool"]: row for row in two.by_dims(spark).collect()}
+    b = {row["tool"]: row for row in one.by_dims(spark).collect()}
+    assert set(a) == set(b)
+    for t in a:
+        assert a[t]["rows"] == b[t]["rows"]
+        # register-max merge: epoch-split == one-shot byte-for-byte
+        assert a[t]["sketch"] == b[t]["sketch"], t
+    exact = {
+        row["tool"]: (row["d"], row["n"])
+        for row in df.groupBy("tool")
+        .agg(F.countDistinct("user_id").alias("d"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        row["tool"]: row
+        for row in two.estimate_by(spark, lambda s: s.estimate()).collect()
+    }
+    assert set(got) == set(exact)
+    for t, (d, n) in exact.items():
+        assert got[t]["rows"] == n
+        assert abs(got[t]["estimate"] - d) <= _BOUND * d + 1
+    # compaction preserves the dimensioned answers
+    two.compact(spark)
+    assert {
+        row["tool"]: (row["rows"], row["sketch"])
+        for row in two.by_dims(spark).collect()
+    } == {t: (row["rows"], row["sketch"]) for t, row in a.items()}
+
+
+def test_rollup_dims_pin_and_reserved_refusals(spark, tmp_path):
+    p = str(tmp_path / "dpin")
+    r = SketchRollup(p, factory=_hll, grain="day", dims=["tool"])
+    r.append(_tool_events(spark, n=100), "ts", "user_id")
+    with pytest.raises(ValueError, match="dims"):
+        SketchRollup(p, dims=["source"])
+    with pytest.raises(ValueError, match="dims"):
+        SketchRollup(p, dims=[])
+    reopened = SketchRollup(p)  # dims come from the manifest
+    assert reopened.dims == ["tool"]
+    assert reopened.by_dims(spark).count() > 0
+    with pytest.raises(ValueError, match="shadows"):
+        SketchRollup(str(tmp_path / "bad"), factory=_hll, dims=["rows"])
+    with pytest.raises(ValueError, match="duplicate"):
+        SketchRollup(str(tmp_path / "dup"), factory=_hll, dims=["t", "t"])
+    flat = SketchRollup(str(tmp_path / "flat"), factory=_hll, grain="day")
+    with pytest.raises(ValueError, match="without dims"):
+        flat.by_dims(spark)
+
+
 def test_rollup_weighted_cms(spark, tmp_path):
     rows = []
     base = dt.datetime(2024, 3, 1)
