@@ -10,7 +10,7 @@ from .aggregate import (
 )
 from .checkpoint import build_sketch_resumable, checkpointed_partials, lineage
 from .probe import bloom_semi_join, cms_estimate, might_contain, quantile_rank
-from .rollup import SketchRollup
+from .rollup import SketchRollup, stream_rollup
 from .sharded import (
     build_sharded_bloom,
     build_sharded_sketch,

@@ -150,6 +150,7 @@ class SketchRollup:
             self.epochs: list[int] = []
             self.base: str | None = None
             self.last_epoch = -1
+            self.tags: dict[str, int] = {}
             os.makedirs(path, exist_ok=True)
             self._save_manifest()
             return
@@ -164,6 +165,7 @@ class SketchRollup:
         self.epochs = [int(e) for e in man["epochs"]]
         self.base = man.get("base")
         self.last_epoch = int(man["epoch"])
+        self.tags = dict(man.get("tags", {}))
         if factory is not None:
             probe = factory()
             got = {"cls": type(probe).__name__, "meta": probe._meta()}
@@ -214,6 +216,7 @@ class SketchRollup:
                     "epoch": self.last_epoch,
                     "epochs": self.epochs,
                     "base": self.base,
+                    "tags": self.tags,
                 },
                 f,
             )
@@ -267,6 +270,7 @@ class SketchRollup:
         val_col: str,
         salt: int = 64,
         weight_col: str | None = None,
+        tag: str | None = None,
     ) -> int:
         """Build this batch's per-(window, dims) partials and commit
         them as one epoch. Never reads existing data — duplicate
@@ -275,12 +279,26 @@ class SketchRollup:
         key cannot be NULL; the SQL mirror is ``WHERE ts IS NOT
         NULL``); NULL *dimension* values are kept as their own group
         (they round-trip through the JSON composite key). Returns the
-        number of window rows written."""
+        number of window rows written.
+
+        ``tag`` is an idempotency key: an append whose tag is already
+        committed is skipped (returns 0). The tag rides the SAME
+        manifest swap that commits the epoch, so a crash can never
+        commit data without its tag (which would double-count on
+        replay) — this is what makes the rollup a safe Structured
+        Streaming sink (:meth:`stream_sink`): foreachBatch replays the
+        last micro-batch after a restart with the same epoch id, and
+        the tag turns the replay into a no-op. Tags survive
+        :meth:`compact` (a replayed batch after compaction must still
+        skip). The namespace is the caller's: two different streams
+        into one rollup need distinct tag prefixes."""
         if self.factory is None:
             raise ValueError(
                 "append needs the sketch factory; reopen with factory= "
                 "matching the pinned config"
             )
+        if tag is not None and tag in self.tags:
+            return 0
         with self._write_lock():
             epoch = self.last_epoch + 1
             keyed = (
@@ -328,9 +346,37 @@ class SketchRollup:
             n = spark.read.parquet(edir).count()
             self.last_epoch = epoch
             self.epochs.append(epoch)
+            if tag is not None:
+                self.tags[tag] = epoch
             self._save_manifest()
             self._sweep_orphans()
             return n
+
+    def stream_sink(
+        self,
+        ts_col: str,
+        val_col: str,
+        salt: int = 64,
+        weight_col: str | None = None,
+        tag_prefix: str = "stream",
+    ):
+        """A ``foreachBatch`` hook: each micro-batch commits as one
+        tagged epoch (``<tag_prefix>-<epoch_id>``), so restarts that
+        replay the last micro-batch skip instead of double-counting —
+        the streaming twin of the blind batch append. Give each stream
+        writing into one rollup its own ``tag_prefix``."""
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.append(
+                batch_df,
+                ts_col,
+                val_col,
+                salt=salt,
+                weight_col=weight_col,
+                tag=f"{tag_prefix}-{int(epoch_id)}",
+            )
+
+        return sink
 
     # -- read ---------------------------------------------------------------
 
@@ -495,6 +541,36 @@ class SketchRollup:
             self.last_epoch += 1
             self.epochs = []
             self.base = gen
+            # tags kept on purpose: a replayed micro-batch arriving
+            # after compaction must still skip, not re-append
             self._save_manifest()
             self._sweep_orphans()
             return n
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    rollup: SketchRollup,
+    ts_col: str,
+    val_col: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    salt: int = 64,
+    weight_col: str | None = None,
+    tag_prefix: str = "stream",
+):
+    """Start a streaming query that continuously ingests ``stream_df``
+    into ``rollup`` (one tagged epoch per micro-batch, exactly-once
+    across restarts). Returns the StreamingQuery; range reads on the
+    rollup stay available throughout — readers only ever see committed
+    epochs."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            rollup.stream_sink(ts_col, val_col, salt, weight_col, tag_prefix)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -322,6 +322,84 @@ def test_rollup_dims_pin_and_reserved_refusals(spark, tmp_path):
         flat.by_dims(spark)
 
 
+def test_rollup_append_tag_idempotent(spark, tmp_path):
+    df = _events(spark, n=400, with_null=False)
+    p = str(tmp_path / "tag")
+    r = SketchRollup(p, factory=_hll, grain="day")
+    n1 = r.append(df, "ts", "user_id", tag="batch-0")
+    assert n1 > 0
+    before = {row["wstart"]: row["rows"] for row in r.windows(spark).collect()}
+    # same tag again: skipped, nothing changes
+    assert r.append(df, "ts", "user_id", tag="batch-0") == 0
+    assert {row["wstart"]: row["rows"] for row in r.windows(spark).collect()} == before
+    # the tag rides the manifest: a fresh handle (post-crash restart) skips too
+    r2 = SketchRollup(p, factory=_hll)
+    assert r2.append(df, "ts", "user_id", tag="batch-0") == 0
+    # tags survive compaction — a late replay after compact still skips
+    r2.compact(spark)
+    assert r2.append(df, "ts", "user_id", tag="batch-0") == 0
+    assert {row["wstart"]: row["rows"] for row in r2.windows(spark).collect()} == before
+    # a new tag appends normally
+    assert r2.append(df, "ts", "user_id", tag="batch-1") > 0
+    assert {row["wstart"]: row["rows"] for row in r2.windows(spark).collect()} == {
+        w: n * 2 for w, n in before.items()
+    }
+
+
+def test_rollup_stream_ingest_equals_batch_and_restart(spark, tmp_path):
+    from sprout_spark.spark.rollup import stream_rollup
+
+    df = _events(spark, n=1200, with_null=False)
+    src = str(tmp_path / "src")
+    df.repartition(6).write.parquet(src)
+    batch = spark.read.parquet(src)
+
+    one = SketchRollup(str(tmp_path / "one"), factory=_hll, grain="day")
+    one.append(batch, "ts", "user_id")
+    truth = {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in one.windows(spark).collect()
+    }
+
+    p = str(tmp_path / "streamed")
+    r = SketchRollup(p, factory=_hll, grain="day")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_rollup(
+        stream, r, "ts", "user_id", ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(300)
+    assert len(r.epochs) >= 3  # really ran multiple micro-batches
+    got = {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in r.windows(spark).collect()
+    }
+    # streamed == one-shot batch, byte-for-byte (register-max merge)
+    assert got == truth
+    # restart over the same checkpoint with a FRESH handle: no new
+    # data -> no change; a replayed micro-batch skips on its tag
+    r2 = SketchRollup(p, factory=_hll)
+    q2 = stream_rollup(
+        stream, r2, "ts", "user_id", ckpt, trigger={"availableNow": True}
+    )
+    q2.awaitTermination(300)
+    assert {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in r2.windows(spark).collect()
+    } == truth
+    # a manual replay of an already-committed micro-batch is a no-op
+    sink = r2.stream_sink("ts", "user_id")
+    sink(batch, 0)
+    assert {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in r2.windows(spark).collect()
+    } == truth
+
+
 def test_rollup_weighted_cms(spark, tmp_path):
     rows = []
     base = dt.datetime(2024, 3, 1)
