@@ -914,6 +914,66 @@ def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality scoring (operators/lm.py): train
+    an add-1 smoothed unigram model on a 4-source REFERENCE slice
+    (top-512 vocab), score EVERY document by mean negative token
+    log-prob. Exact facts (n_tokens, oov per doc — the tokenization +
+    vocab-membership chain) hash against the SQL twin; the log-valued
+    score is Spark-verified per row against an INDEPENDENT recompute
+    (Python re tokenizer + math.log over the collected broadcast-sized
+    model — different tokenizer impl, log impl, and summation order)
+    at 1e-9 relative tolerance, the package convention for ln() values
+    (cross-engine last-ulp drift — see top_terms_documents)."""
+    import math as _math
+    import re as _re
+
+    from sprout_spark.operators.lm import (
+        train_unigram_lm,
+        unigram_logprob_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    model = train_unigram_lm(ref, "text", vocab_size=512)
+    counts = {r["term"]: r["count"] for r in model.collect()}  # <= 512 rows
+    total, vsize = sum(counts.values()), len(counts)
+    out = unigram_logprob_scores(docs, "doc_id", "text", model)
+
+    denom = _math.log(total + 1.0 * (vsize + 1))
+
+    def _recheck(it):
+        for pdf in it:
+            oks = []
+            for text, score in zip(pdf["text"], pdf["score"]):
+                toks = (
+                    _re.split(r"\s+", text.strip())
+                    if text is not None and text.strip()
+                    else []
+                )
+                if not toks:
+                    oks.append(score is None or (score != score))
+                    continue
+                s = sum(_math.log(counts.get(t, 0) + 1.0) for t in toks)
+                want = denom - s / len(toks)
+                oks.append(
+                    score is not None
+                    and abs(score - want) <= 1e-9 * max(abs(want), 1.0)
+                )
+            pdf["score_ok"] = oks
+            yield pdf[["doc_id", "score_ok"]]
+
+    checked = (
+        out.join(docs.select("doc_id", "text"), "doc_id")
+        .mapInPandas(_recheck, "doc_id bigint, score_ok boolean")
+    )
+    return (
+        out.select("doc_id", "n_tokens", "oov")
+        .join(checked, "doc_id")
+        .select("doc_id", "n_tokens", "oov", "score_ok")
+    )
+
+
 def q_lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (rows-only; heuristic has no SQL oracle)."""
     from sprout_spark.functions.text import language_id
@@ -2009,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": q_text_stats_documents,
         "repetition_stats_documents": q_repetition_stats_documents,
         "lang_id_documents": q_lang_id_documents,
+        "unigram_lm_docs": q_unigram_lm_docs,
         "fingerprint_shared": q_fingerprint_shared,
         "containment_dup_pairs": q_containment_dup_pairs,
         "containment_clean_docs": q_containment_clean_docs,
@@ -2633,6 +2694,30 @@ SELECT doc_id, n_chars FROM (
         "simhash_dup_pairs": _simhash_oracle_sql(3),
         "simhash_shingle_pairs": _simhash_oracle_sql(3, shingle_k=3),
         "lang_id_documents": _lang_id_oracle_sql(2),
+        "unigram_lm_docs": (
+            # the exact-facts twin: convention tokenization, vocab =
+            # reference-slice top-512 by (count desc, term), per-doc
+            # token + OOV counts, blanks joined back as zeros; the
+            # log-valued score is a Spark-verified boolean
+            r"WITH tok AS (SELECT doc_id, unnest(string_split_regex("
+            r"regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term "
+            r"FROM documents WHERE text IS NOT NULL AND "
+            r"length(regexp_replace(text, '\s', '', 'g')) > 0), "
+            r"reftok AS (SELECT unnest(string_split_regex("
+            r"regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term "
+            r"FROM documents WHERE source IN "
+            r"('src0', 'src1', 'src2', 'src3') AND text IS NOT NULL AND "
+            r"length(regexp_replace(text, '\s', '', 'g')) > 0), "
+            r"vocab AS (SELECT term FROM reftok GROUP BY term "
+            r"QUALIFY row_number() OVER (ORDER BY count(*) DESC, term) "
+            r"<= 512), "
+            r"per AS (SELECT t.doc_id, count(*) AS n_tokens, "
+            r"sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS oov "
+            r"FROM tok t LEFT JOIN vocab v USING (term) GROUP BY t.doc_id) "
+            r"SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+            r"CAST(coalesce(p.oov, 0) AS BIGINT) AS oov, true AS score_ok "
+            r"FROM documents d LEFT JOIN per p USING (doc_id)"
+        ),
         "fingerprint_shared": _fingerprint_oracle_sql(8, 4),
         "containment_dup_pairs": """
 WITH g AS (
