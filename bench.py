@@ -521,6 +521,49 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         return encode_tokens(docs, "doc_id", "text", v).count()
 
     timed("encode_tokens_docs", _encode)
+    # unigram LM scoring on the TILED corpus: reference-slice model
+    # (broadcast-sized by construction) + row-local explode + one
+    # per-doc agg — the CCNet-filter cost a 100-TB quality pass pays
+    from sprout_spark.operators.lm import train_unigram_lm, unigram_logprob_scores
+
+    def _lm():
+        model = train_unigram_lm(
+            docs.where(F.col("source").isin("src0", "src1", "src2", "src3")),
+            "text",
+            vocab_size=4096,
+        )
+        return (
+            unigram_logprob_scores(docs, "doc_id", "text", model)
+            .select(F.max("score"))
+            .collect()
+        )
+
+    timed("unigram_lm_docs", _lm)
+    # dimensioned rollup over events: ONE salted grouped build lands
+    # per-(day, event_type) HLL partials at rest, then a range
+    # estimate_by answers per-type distincts from partials alone — the
+    # build-once/query-forever split a 10^12-turn rollup table lives on
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.spark.rollup import SketchRollup
+
+    def _rollup():
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            r = SketchRollup(
+                td + "/r",
+                factory=lambda: HyperLogLog(p=12),
+                grain="day",
+                dims=["event_type"],
+            )
+            r.append(events_b, "ts", "user_id")
+            return (
+                r.estimate_by(spark, lambda s: s.estimate())
+                .select(F.sum("rows"))
+                .collect()
+            )
+
+    timed("rollup_build_query_events", _rollup)
     # sketch-guided exact quantile: bracket forced below corpus size so
     # the t-digest narrowing loop actually runs (the 10^12-row shape)
     from sprout_spark.operators.quantile import exact_quantile

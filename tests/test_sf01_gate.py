@@ -173,6 +173,15 @@ def _min_label_components(pairs):
         # the relative-frequency ceiling drops to ~9.6e-5, so phi=8e-5
         # exercises the MG propose/confirm margin at its tightest
         "heavy_ngrams_docs",
+        # persisted rollups: per-day (and per-(day,type)) counts are one
+        # linear groupBy per engine; sf0.1 runs the blind two-epoch
+        # append + range merge over ~23.5k in-range events
+        "rollup_hll_user_range",
+        "rollup_type_day_distinct",
+        # unigram LM scoring: token groupBys + broadcast join — linear
+        # in corpus token count; sf0.1 re-verifies the ln-score
+        # independent recompute over ~5k docs
+        "unigram_lm_docs",
     ],
 )
 def test_full_oracle_at_sf01(spark01, ddb, name):
