@@ -1611,6 +1611,36 @@ def q_rollup_hll_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_tdigest_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest ROLLUP range quantiles — the rollup generalizes across
+    sketch families (centroid merge, not just HLL register-max):
+    per-day t-digest partials over events.value land in two blind
+    epochs; the [2024-01-05, 2024-01-12) range-merged digest's
+    quantiles rank-check against the exact in-range distribution
+    (rank_tol=0.02 — one extra merge level vs the flat build). The
+    exact range row count through the rollup is asserted on the way."""
+    import tempfile
+
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", F.col("value").cast("double").alias("v")
+    )
+    t0, t1 = "2024-01-05", "2024-01-12"
+    vals = events.where((F.col("ts") >= t0) & (F.col("ts") < t1)).select("v")
+    n_exact = vals.count()
+    with tempfile.TemporaryDirectory() as td_dir:
+        r = SketchRollup(
+            td_dir + "/r", factory=lambda: TDigest(200), grain="day"
+        )
+        r.append(events.where(F.col("event_id") % 2 == 0), "ts", "v")
+        r.append(events.where(F.col("event_id") % 2 == 1), "ts", "v")
+        est, nrows = r.estimate(spark, lambda s: s, t0, t1)
+    if nrows != n_exact:
+        raise AssertionError("range row count through the rollup is not exact")
+    return _quantile_bound_df(spark, vals, "v", est, rank_tol=0.02)
+
+
 def q_rollup_type_day_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIMENSIONED rollup (spark/rollup.py, dims=["event_type"]) — the
     full continuous-aggregate shape: per-(day, event_type) HLL partials
@@ -2100,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_hll_events": q_windowed_hll_events,
         "rollup_hll_user_range": q_rollup_hll_user_range,
         "rollup_type_day_distinct": q_rollup_type_day_distinct,
+        "rollup_tdigest_value_range": q_rollup_tdigest_value_range,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
         "pack_spans_documents": q_pack_spans_documents,
@@ -2479,6 +2510,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE text IS NOT NULL AND lang IS NOT NULL)"
         ),
         "tdigest_value_quantiles": (
+            f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "rollup_tdigest_value_range": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
         ),
         "kll_value_quantiles": f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)",
