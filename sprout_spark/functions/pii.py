@@ -87,6 +87,17 @@ def redact_pii(
     map-only projection — no shuffle, no Python."""
     out_col = out_col or text_col
     order = _resolve_kinds(kinds)
+    if counts:
+        clash = [
+            c
+            for c in (*[f"pii_{k}" for k in order], "pii_total")
+            if c in df.columns
+        ]
+        if clash:
+            raise ValueError(
+                f"count columns {clash} already exist on the input; "
+                "drop or rename them (withColumn would silently clobber)"
+            )
     staged: Column = F.col(text_col)
     count_cols: dict[str, Column] = {}
     for kind in order:
@@ -158,7 +169,6 @@ def quarantine_high_pii(
     while tmp in df.columns:  # collision-proof temp name
         tmp += "_"
     counted = redact_pii(df, text_col, kinds=kinds, out_col=tmp, counts=True)
-    meta = [c for c in counted.columns if c.startswith("pii_")]
     clean = counted.where(F.col("pii_total") <= max_matches).select(
         *[
             F.col(tmp).alias(text_col) if c == text_col else F.col(c)

@@ -17,10 +17,12 @@ NULLs — unlike the key-sketch convention where a NULL hashes as the
 empty key, a profiler must not conflate NULL with ``''``).
 
 Column typing:
-  * distinct_est — string/binary/integer columns, and timestamps via
-    the canonical int64-microsecond cast; NULL for float columns
-    (hashing continuous doubles conflates ``-0.0``/``0.0`` with SQL
-    DISTINCT semantics, so the profiler abstains rather than lies).
+  * distinct_est — string/binary/integer/boolean/date columns, and
+    timestamps via the canonical int64-microsecond cast; NULL for
+    float columns (hashing continuous doubles conflates ``-0.0``/
+    ``0.0`` with SQL DISTINCT semantics, so the profiler abstains
+    rather than lies) and for nested/decimal columns (no canonical
+    key encoding — abstain, never crash mid-scan).
   * p50_est — integer/float columns (t-digest); NULL otherwise.
   * n_rows / n_null / min_str / max_str — every column (min/max via the
     JVM aggregate, rendered with Spark's string cast).
@@ -43,6 +45,19 @@ from ..spark.aggregate import MULTI_ROW_SCHEMA, tree_merge
 
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 _FLOATY = ("float", "double")
+# Spark dtypes with a canonical key encoding for the distinct sketch
+# (pack_arrow's surface plus the casts the kernel applies). Anything
+# else — nested, decimal, float — abstains with a NULL distinct_est.
+_HLLABLE = (
+    "string",
+    "binary",
+    "boolean",
+    "date",
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+)
 
 
 def profile_table(
@@ -61,7 +76,11 @@ def profile_table(
     if not cols:
         raise ValueError("no columns to profile")
 
-    hll_cols = [c for c in cols if dtypes[c] not in _FLOATY]
+    hll_cols = [
+        c
+        for c in cols
+        if dtypes[c] in _HLLABLE or dtypes[c].startswith("timestamp")
+    ]
     td_cols = [c for c in cols if dtypes[c] in _NUMERIC]
 
     # ---- pass 1: exact facts, one JVM aggregation -------------------------
@@ -89,6 +108,12 @@ def profile_table(
                     continue
                 if pa.types.is_timestamp(arr.type):
                     arr = arr.cast(pa.int64())
+                elif pa.types.is_date32(arr.type):
+                    arr = arr.cast(pa.int32()).cast(pa.int64())
+                elif pa.types.is_date64(arr.type):
+                    arr = arr.cast(pa.int64())
+                elif pa.types.is_boolean(arr.type):
+                    arr = arr.cast(pa.int8())
                 hlls[c].add_packed(*pack_arrow(arr))
             for c in td_cols:
                 arr = batch.column(pos[c]).drop_null()

@@ -116,3 +116,14 @@ def test_plan_is_map_only(docs):
     assert "Exchange" not in plan, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
         assert marker not in plan, plan
+
+
+def test_count_column_clash_refused(spark):
+    df = spark.createDataFrame(
+        [("a@b.co", 1)], "text string, pii_email int"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        redact_pii(df, "text")
+    # counts=False doesn't touch pii_* names, so no clash
+    out = redact_pii(df, "text", counts=False).collect()[0]
+    assert out["text"] == "<EMAIL>"

@@ -81,3 +81,35 @@ def test_subset_and_guards(spark, fixture_df):
         profile_table(fixture_df, cols=["nope"])
     with pytest.raises(ValueError, match="no columns"):
         profile_table(fixture_df, cols=[])
+
+
+def test_unsupported_types_abstain_not_crash(spark):
+    # nested (array<float>) and decimal columns must abstain (NULL
+    # distinct_est) instead of crashing the scan kernel; bool/date/
+    # timestamp columns get real estimates through their casts
+    import datetime
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                k=i,
+                emb=[float(i), 1.0],
+                flag=i % 2 == 0,
+                d=datetime.date(2024, 1, 1 + i % 5),
+                ts=datetime.datetime(2024, 1, 1, i % 24),
+                dec=Decimal(i),
+            )
+            for i in range(100)
+        ],
+        "k bigint, emb array<float>, flag boolean, d date, "
+        "ts timestamp, dec decimal(10,2)",
+    ).repartition(4)
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["emb"]["distinct_est"] is None
+    assert prof["dec"]["distinct_est"] is None
+    assert prof["flag"]["distinct_est"] == 2
+    assert prof["d"]["distinct_est"] == 5
+    assert prof["ts"]["distinct_est"] == 24
+    # exact facts still cover every column
+    assert prof["emb"]["n_rows"] == 100 and prof["emb"]["n_null"] == 0
