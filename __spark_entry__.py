@@ -1641,6 +1641,53 @@ def q_rollup_tdigest_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_bound_df(spark, vals, "v", est, rank_tol=0.02)
 
 
+def q_rollup_cms_type_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS ROLLUP range frequencies — the THIRD sketch family through
+    the persisted rollup (HLL = distinct, t-digest = quantiles, CMS =
+    frequency; counter-sum merge this time): per-day CMS partials over
+    events.event_type land in two blind epochs; the [2024-01-05,
+    2024-01-12) range-merged CMS estimates every in-range type's
+    occurrence count — never under, over by <= ceil(eps*N_range).
+    delta=1e-6 so the all-keys assert is stable (ADVICE r4: the per-key
+    guarantee is w.p. 1-delta; deep rows make n_keys*delta ~ 0). The
+    exact range row count through the rollup is asserted on the way."""
+    import tempfile
+
+    from sprout_spark.sketch import CountMinSketch
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    t0, t1 = "2024-01-05", "2024-01-12"
+    in_range = events.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+    n_exact = in_range.count()
+    with tempfile.TemporaryDirectory() as d:
+        r = SketchRollup(
+            d + "/r",
+            factory=lambda: CountMinSketch(0.0005, 1e-6),
+            grain="day",
+        )
+        r.append(events.where(F.col("event_id") % 2 == 0), "ts", "event_type")
+        r.append(events.where(F.col("event_id") % 2 == 1), "ts", "event_type")
+        cms, nrows = r.estimate(spark, lambda s: s, t0, t1)
+    if nrows != n_exact:
+        raise AssertionError("range row count through the rollup is not exact")
+    if cms.total != n_exact:
+        raise AssertionError("range-merged CMS total != exact in-range rows")
+    bound = int(math.ceil(cms.eps * cms.total))
+    exact = in_range.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    est = exact.withColumn("est", cms_estimate(spark, cms, F.col("event_type")))
+    return est.select(
+        "event_type",
+        "cnt",
+        (
+            (F.col("est") >= F.col("cnt"))
+            & (F.col("est") <= F.col("cnt") + bound)
+        ).alias("ok"),
+    )
+
+
 def q_rollup_type_day_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIMENSIONED rollup (spark/rollup.py, dims=["event_type"]) — the
     full continuous-aggregate shape: per-(day, event_type) HLL partials
@@ -2131,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hll_user_range": q_rollup_hll_user_range,
         "rollup_type_day_distinct": q_rollup_type_day_distinct,
         "rollup_tdigest_value_range": q_rollup_tdigest_value_range,
+        "rollup_cms_type_range": q_rollup_cms_type_range,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
         "pack_spans_documents": q_pack_spans_documents,
@@ -2969,6 +3017,13 @@ FROM (
             "count(*) AS n_rows, true AS est_ok, true AS range_ok "
             "FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
             "GROUP BY 1"
+        ),
+        "rollup_cms_type_range": (
+            # frequency-family rollup: exact in-range counts per type;
+            # the CMS bound check is a Spark-side-verified boolean
+            "SELECT event_type, count(*) AS cnt, true AS ok "
+            "FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
+            "GROUP BY event_type"
         ),
         "rollup_type_day_distinct": (
             # the dimensioned-rollup twin: per-(day, event_type) exact

@@ -421,3 +421,32 @@ def test_rollup_weighted_cms(spark, tmp_path):
     for t, true in exact.items():
         est = sk.estimate(t)
         assert true <= est <= true + math.ceil(0.001 * total)
+
+
+def test_rollup_cms_frequency_family(spark, tmp_path):
+    # frequency family through the rollup: counter-sum merge across
+    # blind epochs; range estimates never under, over by <= ceil(eps*N)
+    df = _events(spark, with_null=False).withColumn(
+        "etype", (F.col("event_id") % 5).cast("string")
+    )
+    r = SketchRollup(
+        str(tmp_path / "cms"),
+        factory=lambda: CountMinSketch(0.001, 1e-6),
+        grain="day",
+    )
+    r.append(df.where(F.col("event_id") % 2 == 0), "ts", "etype")
+    r.append(df.where(F.col("event_id") % 2 == 1), "ts", "etype")
+    t0, t1 = "2024-03-03", "2024-03-07"
+    in_range = df.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+    exact = {
+        row["etype"]: row["n"]
+        for row in in_range.groupBy("etype").agg(F.count("*").alias("n")).collect()
+    }
+    cms, nrows = r.estimate(spark, lambda s: s, t0, t1)
+    assert nrows == sum(exact.values()) == cms.total
+    import math as _m
+
+    bound = int(_m.ceil(cms.eps * cms.total))
+    for k, n in exact.items():
+        est = cms.estimate(k)
+        assert n <= est <= n + bound, (k, n, est)
