@@ -179,6 +179,7 @@ def _min_label_components(pairs):
         "rollup_hll_user_range",
         "rollup_type_day_distinct",
         "rollup_tdigest_value_range",
+        "rollup_cms_type_range",
         # unigram LM scoring: token groupBys + broadcast join — linear
         # in corpus token count; sf0.1 re-verifies the ln-score
         # independent recompute over ~5k docs
