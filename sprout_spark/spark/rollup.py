@@ -523,18 +523,29 @@ class SketchRollup:
 
     # -- compact ------------------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(self, spark: SparkSession, n_files: int = 1) -> int:
         """Fold all committed epochs into one base generation with one
         merged row per window (a read-cost optimization only — answers
         are unchanged by mergeability). Crash-safe: the generation is
         fully written under a name readers ignore, the manifest swap is
         the commit point, superseded dirs are swept after. Returns the
-        number of window rows in the new base."""
+        number of window rows in the new base.
+
+        ``n_files`` bounds the write fan (hash-partitioned on the
+        window key). The default single file is right for hour/day
+        grains — the base stays one sequential read — but a minute-
+        grain dimensioned rollup spanning years is millions of rows of
+        KB payloads, which must not funnel through one task: size
+        ``n_files`` so a file holds ~1M rows there."""
+        if n_files < 1:
+            raise ValueError(f"n_files must be >= 1, got {n_files}")
         with self._write_lock():
             merged = self.windows(spark)
             gen = f"compact-g{self.last_epoch + 1}"
             gdir = os.path.join(self.path, gen)
-            merged.repartition(1).write.mode("overwrite").parquet(gdir)
+            merged.repartition(n_files, "wstart").write.mode(
+                "overwrite"
+            ).parquet(gdir)
             n = spark.read.parquet(gdir).count()
             # compaction consumes an epoch id so a concurrent stale
             # writer's staleness check trips on it

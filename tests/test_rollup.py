@@ -450,3 +450,29 @@ def test_rollup_cms_frequency_family(spark, tmp_path):
     for k, n in exact.items():
         est = cms.estimate(k)
         assert n <= est <= n + bound, (k, n, est)
+
+
+def test_rollup_compact_bounded_fan(spark, tmp_path):
+    # n_files bounds the compaction write fan without changing answers
+    df = _events(spark, with_null=False)
+    r = SketchRollup(str(tmp_path / "fan"), factory=_hll, grain="day")
+    r.append(df, "ts", "user_id")
+    before = {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in r.windows(spark).collect()
+    }
+    n = r.compact(spark, n_files=4)
+    assert n == len(before)
+    files = [
+        f
+        for f in os.listdir(os.path.join(r.path, r.base))
+        if f.endswith(".parquet")
+    ]
+    assert 1 <= len(files) <= 4
+    after = {
+        row["wstart"]: (row["rows"], row["sketch"])
+        for row in r.windows(spark).collect()
+    }
+    assert after == before
+    with pytest.raises(ValueError, match="n_files"):
+        r.compact(spark, n_files=0)
