@@ -1777,6 +1777,150 @@ def q_rollup_type_day_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_kll_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL ROLLUP range quantiles — the SECOND quantile family through
+    the persisted rollup (compactor merge, not t-digest's centroid
+    merge): per-day KLL partials over events.value land in two blind
+    epochs; the [2024-01-05, 2024-01-12) range-merged sketch's
+    quantiles rank-check against the exact in-range distribution
+    (rank_tol=0.035 — the flat-build gate runs at 0.025; the rollup
+    adds per-window + range merge levels and KLL's compactor coin
+    flips are spent per merge). The exact range row count through the
+    rollup is asserted on the way."""
+    import tempfile
+
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", F.col("value").cast("double").alias("v")
+    )
+    t0, t1 = "2024-01-05", "2024-01-12"
+    vals = events.where((F.col("ts") >= t0) & (F.col("ts") < t1)).select("v")
+    n_exact = vals.count()
+    with tempfile.TemporaryDirectory() as d:
+        r = SketchRollup(d + "/r", factory=lambda: KLL(200), grain="day")
+        r.append(events.where(F.col("event_id") % 2 == 0), "ts", "v")
+        r.append(events.where(F.col("event_id") % 2 == 1), "ts", "v")
+        est, nrows = r.estimate(spark, lambda s: s, t0, t1)
+    if nrows != n_exact:
+        raise AssertionError("range row count through the rollup is not exact")
+    return _quantile_bound_df(spark, vals, "v", est, rank_tol=0.035)
+
+
+def q_rollup_bloom_user_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom MEMBERSHIP through the rollup — the timeseries twin of the
+    reference's Contains (bloom.go:195-218): "was this user active in
+    [t0, t1)?" answered forever from per-day filter partials without
+    rescanning raw rows. Per-day Blooms (enforce_capacity=False: window
+    row counts are data-dependent, so the filter is sized for the
+    expected window volume — past it the FPR bound degrades gracefully,
+    the zero-FN contract never does) land in TWO blind-append epochs;
+    the range query OR-merges the in-range windows and every in-range
+    distinct user must probe true — the oracle is the exact in-range
+    DISTINCT, so equality IS the recall gate. With membership this
+    completes the family tour: the rollup serves distinct (HLL),
+    frequency (CMS), quantiles (t-digest, KLL), heavy hitters (MG),
+    and membership (Bloom) from one persisted table."""
+    import tempfile
+
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    t0, t1 = "2024-01-05", "2024-01-12"
+    in_range = events.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+    n_exact = in_range.count()
+    with tempfile.TemporaryDirectory() as d:
+        r = SketchRollup(
+            d + "/r",
+            factory=lambda: BloomFilter(
+                200_000, 0.001, enforce_capacity=False
+            ),
+            grain="day",
+        )
+        r.append(events.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+        r.append(events.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+        bf, nrows = r.estimate(spark, lambda s: s, t0, t1)
+    if nrows != n_exact:
+        raise AssertionError("range row count through the rollup is not exact")
+    return (
+        in_range.select("user_id")
+        .distinct()
+        .where(might_contain(spark, bf, F.col("user_id")))
+        .select("user_id")
+    )
+
+
+def q_rollup_mg_type_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters through the rollup — "which event types
+    dominated [t0, t1)?" from per-day summary partials. The range-merged
+    MG PROPOSES candidates with no false negative possible: per-partial
+    deficits sum under merge, so the merged deficit is ≤ N_range/(k+1)
+    and φ=0.05 > 1/65 makes any true ≥φ·N_range key survive every
+    eviction. One exact semi-join over the in-range slice confirms, so
+    the result is exact and the plain HAVING SQL matches. The proposal
+    guard (φ·total > deficit) and the exact range row count are
+    asserted on the way."""
+    import tempfile
+
+    from sprout_spark.sketch import MisraGries
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    t0, t1 = "2024-01-05", "2024-01-12"
+    in_range = events.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+    n_exact = in_range.count()
+    phi = 0.05
+    with tempfile.TemporaryDirectory() as d:
+        r = SketchRollup(
+            d + "/r", factory=lambda: MisraGries(k=64), grain="day"
+        )
+        r.append(events.where(F.col("event_id") % 2 == 0), "ts", "event_type")
+        r.append(events.where(F.col("event_id") % 2 == 1), "ts", "event_type")
+        mg, nrows = r.estimate(spark, lambda s: s, t0, t1)
+    if nrows != n_exact or mg.total != n_exact:
+        raise AssertionError("range row count through the rollup is not exact")
+    if not phi * mg.total > mg.error_bound():
+        raise AssertionError("MG proposal guard violated: phi*N <= deficit")
+    cands = mg.heavy_hitters(phi)
+    if not cands:
+        return spark.createDataFrame([], "event_type string")
+    cand_df = spark.createDataFrame(
+        [(v,) for v, _, _ in cands], "event_type string"
+    )
+    return (
+        in_range.join(F.broadcast(cand_df), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= phi * n_exact)
+        .select("event_type")
+    )
+
+
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup DECISION (Abbas et al. 2023's
+    keep-one-per-semantic-cluster, embedding-cosine flavor): exact
+    cosine pair graph at τ=0.4 (the populated band in this table) →
+    connected components → keep-best-per-cluster (highest label, ties
+    to the smaller vec_id; singletons survive). The oracle replays the
+    whole chain — list_cosine_similarity pairs, recursive-CTE closure,
+    window top-1 — so one equality gates pair detection, clustering,
+    and the survivor policy together. The SRP-bucketed pair generator
+    (embedding_near_dup_pairs) is the 100-TB candidate path; the exact
+    pair graph keeps this gate oracle-equal."""
+    from sprout_spark.operators.dedup import (
+        duplicate_clusters,
+        resolve_duplicates,
+    )
+    from sprout_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_exact(emb, "vec_id", "embedding", 0.4).select("a", "b")
+    clusters = duplicate_clusters(pairs)
+    return resolve_duplicates(
+        emb.select("vec_id", "label"), "vec_id", clusters, "label"
+    ).select("vec_id", "label")
+
+
 def q_ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN probe — top-k for a TABLE of queries in ONE job (the
     contamination-check shape). With nprobe == n_cells the IVF batch path
@@ -2179,6 +2323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_type_day_distinct": q_rollup_type_day_distinct,
         "rollup_tdigest_value_range": q_rollup_tdigest_value_range,
         "rollup_cms_type_range": q_rollup_cms_type_range,
+        "rollup_kll_value_range": q_rollup_kll_value_range,
+        "rollup_bloom_user_range": q_rollup_bloom_user_range,
+        "rollup_mg_type_range": q_rollup_mg_type_range,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
         "pack_spans_documents": q_pack_spans_documents,
@@ -2563,6 +2711,26 @@ def oracle_sql() -> dict[str, str]:
         "rollup_tdigest_value_range": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
         ),
+        "rollup_kll_value_range": (
+            f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "rollup_bloom_user_range": (
+            # zero-FN range membership through blind-append + OR merge:
+            # the range-merged filter must pass every in-range distinct
+            # user, so the exact in-range DISTINCT *is* the recall gate
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE ts >= '2024-01-05' AND ts < '2024-01-12'"
+        ),
+        "rollup_mg_type_range": (
+            # the range-merged MG proposal is confirmed exactly, so the
+            # result equals the plain in-range HAVING query (0.05*N is
+            # the same double product in both engines)
+            "SELECT event_type FROM events "
+            "WHERE ts >= '2024-01-05' AND ts < '2024-01-12' "
+            "GROUP BY event_type HAVING count(*) >= 0.05 * "
+            "(SELECT count(*) FROM events "
+            "WHERE ts >= '2024-01-05' AND ts < '2024-01-12')"
+        ),
         "kll_value_quantiles": f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)",
         "tdigest_lineitem_price": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
@@ -2642,6 +2810,31 @@ SELECT doc_id, n_chars FROM (
   SELECT doc_id, n_chars,
          row_number() OVER (PARTITION BY grp
                             ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+  FROM j
+) WHERE rn = 1
+""",
+        "semantic_dedup_embeddings": """
+WITH RECURSIVE cp AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l JOIN embeddings r
+    ON l.vec_id < r.vec_id
+   AND list_cosine_similarity(l.embedding, r.embedding) >= 0.4
+),
+edges AS (SELECT a, b FROM cp UNION SELECT b AS a, a AS b FROM cp),
+reach(id, r) AS (
+  SELECT DISTINCT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+),
+cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+j AS (
+  SELECT e.vec_id, e.label, coalesce(cl.cluster, e.vec_id) AS grp
+  FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.id
+)
+SELECT vec_id, label FROM (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY label DESC NULLS LAST, vec_id) AS rn
   FROM j
 ) WHERE rn = 1
 """,
