@@ -1191,6 +1191,27 @@ def q_cross_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b")
 
 
+def q_cross_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus CONTAINMENT decontamination: score how much of each
+    eval-slice doc's fingerprint set appears inside each train-slice doc
+    (denom="left" — the coverage question; whole-doc Jaccard never trips
+    when a short eval item is quoted inside a long training doc, and the
+    bloom fingerprint-intersection step only answers whether ANY gram is
+    shared). Portable md5 variant, max_fp_pairs=None: exact DuckDB
+    oracle parity (the murmur kernel + product-cap hot-fp guard is the
+    throughput path, pytest-covered)."""
+    from sprout_spark.operators.dedup import containment_pairs_between
+
+    docs = load(spark, sf_dir, "documents")
+    eval_slice = docs.where(F.col("doc_id") % 3 == 0)
+    train_slice = docs.where(F.col("doc_id") % 3 != 0)
+    return containment_pairs_between(
+        eval_slice, train_slice, "doc_id", "text",
+        gram=8, keep=16, threshold=0.5,
+        max_fp_pairs=None, portable=True, denom="left",
+    )
+
+
 def q_exact_quantile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-guided EXACT price percentiles (operators/quantile.py):
     a t-digest navigates rank brackets, exactness is paid only inside a
@@ -2304,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantile_lineitem": q_exact_quantile_lineitem,
         "trim_docs_length_band": q_trim_docs_length_band,
         "cross_near_dup_pairs": q_cross_near_dup_pairs,
+        "cross_containment_pairs": q_cross_containment_pairs,
         "heavy_ngrams_docs": q_heavy_ngrams_docs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
@@ -3338,6 +3360,34 @@ inter AS (
 SELECT a, b
 FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.9
+""",
+        # cross containment: same fingerprint CTE as containment_dup_pairs,
+        # one fps view per parity slice; denominator is the LEFT (eval)
+        # side's fingerprint count — the coverage/decontamination score
+        "cross_containment_pairs": """
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest([('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT
+                 for i in range(1, length(text) - 6)]) AS fp
+  FROM documents WHERE length(text) >= 8
+),
+ranked AS (
+  SELECT id, fp, row_number() OVER (PARTITION BY id ORDER BY fp) AS rn FROM g
+),
+fps AS (SELECT DISTINCT id, fp FROM ranked WHERE rn <= 16),
+fpl AS (SELECT * FROM fps WHERE id % 3 = 0),
+fpr AS (SELECT * FROM fps WHERE id % 3 != 0),
+sa AS (SELECT id, count(*) AS nfp_a FROM fpl GROUP BY id),
+sb AS (SELECT id, count(*) AS nfp_b FROM fpr GROUP BY id),
+shr AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS shared
+  FROM fpl l JOIN fpr r ON l.fp = r.fp
+  GROUP BY l.id, r.id
+)
+SELECT s.a, s.b, s.shared, sa.nfp_a, sb.nfp_b,
+       CAST(s.shared AS DOUBLE) / sa.nfp_a AS containment
+FROM shr s JOIN sa ON sa.id = s.a JOIN sb ON sb.id = s.b
+WHERE CAST(s.shared AS DOUBLE) / sa.nfp_a >= 0.5
 """,
         "exact_quantile_lineitem": (
             "SELECT "

@@ -5,6 +5,7 @@ from .asof import asof_join
 from .chunking import chunk_text
 from .dedup import (
     containment_pairs,
+    containment_pairs_between,
     drop_contained,
     duplicate_clusters,
     exact_dedup,

@@ -895,6 +895,104 @@ def drop_contained(
     )
 
 
+def containment_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    keep: int = 64,
+    threshold: float = 0.8,
+    max_fp_pairs: int | None = 4096,
+    portable: bool = False,
+    denom: str = "left",
+) -> DataFrame:
+    """Cross-corpus containment — decontamination at CONTAINMENT level:
+    "how much of this eval item appears inside that training document?"
+    The fingerprint-intersection decontamination (``decontaminate_docs``)
+    answers *whether* any gram is shared; :func:`near_dup_pairs_between`
+    scores whole-doc Jaccard (which a short eval item quoted inside a
+    long training doc never trips); this scores the COVERAGE of one
+    side's fingerprints by the other — the Lee et al. 2021
+    substring-level shape across two tables.
+
+    Both sides run the SAME fingerprint kernel
+    (:func:`~sprout_spark.functions.text.document_fingerprints`; the md5
+    ``portable=True`` variant is the exact-DuckDB-oracle contract), so
+    fingerprints are comparable across tables by construction. The ONLY
+    shuffle moves (fp, id) rows — the inverted-index join of
+    :func:`containment_pairs`, cross form.
+
+    ``denom`` picks the score's denominator: ``"left"`` (default) is
+    ``shared / nfp_a`` — the fraction of the LEFT doc's fingerprints
+    found in the right doc, the decontamination question (run the EVAL
+    slice as ``left``); ``"min"`` is ``shared / min(nfp_a, nfp_b)`` —
+    the symmetric :func:`containment_pairs` convention.
+
+    ``max_fp_pairs`` is the hot-fp guard, cross form: a fingerprint in
+    ``nl`` left and ``nr`` right docs fans out ``nl*nr`` candidate rows
+    (site-wide boilerplate explodes quadratically), so fps whose PRODUCT
+    exceeds the cap are dropped from the JOIN — never from the per-doc
+    ``nfp`` denominators, which are counted first. Recall inside such
+    grams is traded for a bounded join; pass ``None`` for the exact
+    oracle contract.
+
+    Output: (a=left id, b=right id, shared, nfp_a, nfp_b, containment)
+    with ``containment >= threshold``. Ids need not be disjoint — the
+    pair is (left id, right id); interpretation is the caller's join
+    back to either table."""
+    if denom not in ("left", "min"):
+        raise ValueError(f"denom must be 'left' or 'min', got {denom!r}")
+    from ..functions.text import (
+        document_fingerprints,
+        document_fingerprints_portable,
+    )
+
+    fn = document_fingerprints_portable if portable else document_fingerprints
+    # one localCheckpoint per side: each fingerprint table feeds its
+    # size aggregate, the hot-fp count, and a join side — the kernel is
+    # opaque to Catalyst, so without it each consumer re-fingerprints
+    # the corpus (same pattern as containment_pairs / ann_ivf_topk_batch)
+    lf = fn(left, id_col, text_col, gram, keep).distinct().localCheckpoint(
+        eager=True
+    )
+    rf = fn(right, id_col, text_col, gram, keep).distinct().localCheckpoint(
+        eager=True
+    )
+    sa = lf.groupBy("id").agg(F.count("*").alias("nfp_a")).withColumnRenamed(
+        "id", "a"
+    )
+    sb = rf.groupBy("id").agg(F.count("*").alias("nfp_b")).withColumnRenamed(
+        "id", "b"
+    )
+    if max_fp_pairs is not None:
+        hot = (
+            lf.groupBy("fp")
+            .agg(F.count("*").alias("_nl"))
+            .join(rf.groupBy("fp").agg(F.count("*").alias("_nr")), "fp")
+            .where(F.col("_nl") * F.col("_nr") > int(max_fp_pairs))
+            .select("fp")
+        )
+        lf = lf.join(hot, "fp", "left_anti")
+        rf = rf.join(hot, "fp", "left_anti")
+    shared = (
+        lf.select(F.col("id").alias("a"), "fp")
+        .join(rf.select(F.col("id").alias("b"), "fp"), "fp")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    denom_col = (
+        F.col("nfp_a") if denom == "left" else F.least("nfp_a", "nfp_b")
+    )
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("containment", (F.col("shared") / denom_col).cast("double"))
+        .where(F.col("containment") >= float(threshold))
+        .select("a", "b", "shared", "nfp_a", "nfp_b", "containment")
+    )
+
+
 def lsh_candidate_pairs_between(
     left_bands: DataFrame,
     right_bands: DataFrame,

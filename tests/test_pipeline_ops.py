@@ -1337,6 +1337,89 @@ def test_containment_pairs_hot_fp_guard_bounds_join(spark):
     assert all(p[0] >= 100 for p in pairs)
 
 
+def test_containment_pairs_between_decontamination(spark):
+    """Cross-corpus containment: a short eval item quoted verbatim inside
+    a long training doc — cross-Jaccard never trips, left-denominator
+    containment is 1.0. denom='min' matches the symmetric convention;
+    bad denom refuses."""
+    import pytest
+
+    from sprout_spark.operators.dedup import (
+        containment_pairs_between,
+        near_dup_pairs_between,
+    )
+
+    ev = " ".join(f"quiz{i} answer{i}" for i in range(20))  # 40 tokens
+    train_big = (
+        " ".join(f"lead{i} para{i}" for i in range(80))
+        + " " + ev + " "
+        + " ".join(f"tail{i} coda{i}" for i in range(80))
+    )
+    evals = spark.createDataFrame(
+        [(1, ev), (3, "unrelated eval probe entirely")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [(2, train_big), (4, "plain training text with no overlap")],
+        "doc_id bigint, text string",
+    )
+    jac = {(r["a"], r["b"]) for r in near_dup_pairs_between(
+        evals, train, "doc_id", "text", threshold=0.8, max_bucket=None
+    ).collect()}
+    assert (1, 2) not in jac  # whole-doc Jaccard structurally misses
+    for portable in (False, True):
+        got = {(r["a"], r["b"]): r for r in containment_pairs_between(
+            evals, train, "doc_id", "text", gram=8, keep=10_000,
+            threshold=0.8, max_fp_pairs=None, portable=portable,
+        ).collect()}
+        assert set(got) == {(1, 2)}, (portable, set(got))
+        row = got[(1, 2)]
+        assert row["containment"] == 1.0  # every eval gram is in the train doc
+        assert row["nfp_a"] < row["nfp_b"]
+    # denom='min' reproduces the symmetric containment_pairs convention
+    sym = containment_pairs_between(
+        evals, train, "doc_id", "text", gram=8, keep=10_000,
+        threshold=0.8, max_fp_pairs=None, portable=True, denom="min",
+    ).collect()
+    assert {(r["a"], r["b"]) for r in sym} == {(1, 2)}
+    assert sym[0]["containment"] == 1.0
+    with pytest.raises(ValueError, match="denom"):
+        containment_pairs_between(
+            evals, train, "doc_id", "text", denom="right"
+        )
+
+
+def test_containment_pairs_between_product_cap_guard(spark):
+    """max_fp_pairs caps the cross fan-out on the PRODUCT nl*nr: shared
+    boilerplate fps are dropped from the join (none of the boiler-only
+    cross pairs survive) while pairs sharing non-hot grams — and every
+    nfp denominator — are untouched."""
+    from sprout_spark.operators.dedup import containment_pairs_between
+
+    boiler = "common footer text shared by every page on the site"
+    evals = spark.createDataFrame(
+        [(i, f"evalside{i} probe{i} " + boiler) for i in range(10)]
+        + [(100, "special payload only here exactly")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [(1000 + i, f"trainside{i} body{i} " + boiler) for i in range(10)]
+        + [(1100, "special payload only here exactly plus trailing tail")],
+        "doc_id bigint, text string",
+    )
+    got = containment_pairs_between(
+        evals, train, "doc_id", "text", gram=8, keep=10_000,
+        threshold=0.9, max_fp_pairs=5, portable=True,
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert (100, 1100) in pairs  # non-hot grams still pair
+    assert all(a == 100 for a, _ in pairs)  # boiler-only pairs guarded out
+    # denominators counted before the guard: the surviving pair's nfp
+    # reflects the full fingerprint sets, not the post-guard join rows
+    row = next(r for r in got if r["a"] == 100)
+    assert row["nfp_a"] > 0 and row["nfp_b"] > row["shared"] - 1
+
+
 def test_ivf_append_equals_rebuild_and_refuses_mismatch(spark, emb, tmp_path):
     """VERDICT r4 #3: append_to_ivf_index with the frozen quantizer is
     row-set-identical to a one-shot rebuild over the union; appending
