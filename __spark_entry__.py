@@ -1212,6 +1212,25 @@ def q_cross_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_train_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The containment decontamination POLICY applied: the train slice
+    minus every doc that contains an eval item at coverage >= 0.5 — the
+    operator a pipeline actually calls after scoring
+    (cross-table analogue of containment_clean_docs)."""
+    from sprout_spark.operators.dedup import drop_contaminated
+
+    docs = load(spark, sf_dir, "documents")
+    eval_slice = docs.where(F.col("doc_id") % 3 == 0)
+    train_slice = docs.where(F.col("doc_id") % 3 != 0)
+    return drop_contaminated(
+        train_slice, eval_slice, "doc_id", "text",
+        gram=8, keep=16, threshold=0.5,
+        max_fp_pairs=None, portable=True,
+    ).select("doc_id")
+
+
 def q_exact_quantile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-guided EXACT price percentiles (operators/quantile.py):
     a t-digest navigates rank brackets, exactness is paid only inside a
@@ -2326,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_docs_length_band": q_trim_docs_length_band,
         "cross_near_dup_pairs": q_cross_near_dup_pairs,
         "cross_containment_pairs": q_cross_containment_pairs,
+        "decontaminate_train_containment": q_decontaminate_train_containment,
         "heavy_ngrams_docs": q_heavy_ngrams_docs,
         "media_metadata_prune": q_media_metadata_prune,
         "media_image_features": q_media_image_features,
@@ -3388,6 +3408,33 @@ SELECT s.a, s.b, s.shared, sa.nfp_a, sb.nfp_b,
        CAST(s.shared AS DOUBLE) / sa.nfp_a AS containment
 FROM shr s JOIN sa ON sa.id = s.a JOIN sb ON sb.id = s.b
 WHERE CAST(s.shared AS DOUBLE) / sa.nfp_a >= 0.5
+""",
+        "decontaminate_train_containment": """
+WITH g AS (
+  SELECT doc_id AS id,
+         unnest([('0x'||substr(md5(substr(text, i, 8)),1,15))::BIGINT
+                 for i in range(1, length(text) - 6)]) AS fp
+  FROM documents WHERE length(text) >= 8
+),
+ranked AS (
+  SELECT id, fp, row_number() OVER (PARTITION BY id ORDER BY fp) AS rn FROM g
+),
+fps AS (SELECT DISTINCT id, fp FROM ranked WHERE rn <= 16),
+fpl AS (SELECT * FROM fps WHERE id % 3 = 0),
+fpr AS (SELECT * FROM fps WHERE id % 3 != 0),
+sa AS (SELECT id, count(*) AS nfp_a FROM fpl GROUP BY id),
+contaminated AS (
+  SELECT DISTINCT s.b
+  FROM (
+    SELECT l.id AS a, r.id AS b, count(*) AS shared
+    FROM fpl l JOIN fpr r ON l.fp = r.fp
+    GROUP BY l.id, r.id
+  ) s JOIN sa ON sa.id = s.a
+  WHERE CAST(s.shared AS DOUBLE) / sa.nfp_a >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 3 != 0
+  AND doc_id NOT IN (SELECT b FROM contaminated)
 """,
         "exact_quantile_lineitem": (
             "SELECT "

@@ -7,6 +7,7 @@ from .dedup import (
     containment_pairs,
     containment_pairs_between,
     drop_contained,
+    drop_contaminated,
     duplicate_clusters,
     exact_dedup,
     exact_jaccard_pairs,

@@ -993,6 +993,37 @@ def containment_pairs_between(
     )
 
 
+def drop_contaminated(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    keep: int = 64,
+    threshold: float = 0.8,
+    max_fp_pairs: int | None = 4096,
+    portable: bool = False,
+) -> DataFrame:
+    """The decontamination DECISION: remove every training document that
+    CONTAINS eval material — any train doc on the right side of a
+    :func:`containment_pairs_between` pair at ``containment >=
+    threshold`` (left-denominator coverage: the fraction of the eval
+    item's fingerprints found in the train doc) drops. One anti-join on
+    the bigint id; all other train columns pass through. This is the
+    policy step after scoring — the cross-table analogue of
+    :func:`drop_contained`."""
+    pairs = containment_pairs_between(
+        evals, train, id_col, text_col, gram, keep, threshold,
+        max_fp_pairs, portable, denom="left",
+    )
+    bad = pairs.select(F.col("b").alias("_contaminated_id")).distinct()
+    return train.join(
+        bad,
+        train[id_col].cast("bigint") == bad["_contaminated_id"],
+        "left_anti",
+    )
+
+
 def lsh_candidate_pairs_between(
     left_bands: DataFrame,
     right_bands: DataFrame,

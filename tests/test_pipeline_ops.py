@@ -1420,6 +1420,28 @@ def test_containment_pairs_between_product_cap_guard(spark):
     assert row["nfp_a"] > 0 and row["nfp_b"] > row["shared"] - 1
 
 
+def test_drop_contaminated_removes_containing_train_docs(spark):
+    """The decontamination policy: train docs containing an eval item
+    drop; clean train docs (including ones Jaccard-similar to nothing)
+    pass through with all columns."""
+    from sprout_spark.operators.dedup import drop_contaminated
+
+    ev = " ".join(f"bench{i} item{i}" for i in range(20))
+    evals = spark.createDataFrame([(1, ev)], "doc_id bigint, text string")
+    train = spark.createDataFrame(
+        [
+            (10, "padding start " + ev + " padding end", "keepme-meta"),
+            (11, "completely unrelated training document", "other-meta"),
+        ],
+        "doc_id bigint, text string, meta string",
+    )
+    out = drop_contaminated(
+        train, evals, "doc_id", "text", gram=8, keep=10_000,
+        threshold=0.8, max_fp_pairs=None, portable=True,
+    ).collect()
+    assert [(r["doc_id"], r["meta"]) for r in out] == [(11, "other-meta")]
+
+
 def test_ivf_append_equals_rebuild_and_refuses_mismatch(spark, emb, tmp_path):
     """VERDICT r4 #3: append_to_ivf_index with the frozen quantizer is
     row-set-identical to a one-shot rebuild over the union; appending

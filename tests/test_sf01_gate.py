@@ -180,6 +180,17 @@ def _min_label_components(pairs):
         "rollup_type_day_distinct",
         "rollup_tdigest_value_range",
         "rollup_cms_type_range",
+        # round-5 family completion: KLL through the rollup (compactor
+        # merge at 10x rows), Bloom range membership (zero-FN over
+        # ~23.5k in-range adds), MG range heavy hitters (merged-deficit
+        # guard at real volume) — all linear oracles
+        "rollup_kll_value_range",
+        "rollup_bloom_user_range",
+        "rollup_mg_type_range",
+        # SemDeDup decision chain: 2000 vectors -> 920 exact pairs at
+        # tau=0.4; the all-pairs cosine oracle + recursive closure are
+        # sub-second in DuckDB at this embedding-table scale
+        "semantic_dedup_embeddings",
         # unigram LM scoring: token groupBys + broadcast join — linear
         # in corpus token count; sf0.1 re-verifies the ln-score
         # independent recompute over ~5k docs
