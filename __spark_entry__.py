@@ -1936,6 +1936,75 @@ def q_rollup_mg_type_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_downsample_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup DOWNSAMPLE — the continuous-aggregate hierarchy step:
+    hour-grain HLL partials (two blind epochs) fold into a NEW
+    day-grain rollup without rescanning raw rows. Returns one row per
+    day window: wstart, the EXACT row count through the hour→day fold
+    (proves re-truncation routed every hour window into exactly one day
+    window and counts summed), an estimate-in-bound boolean, and a
+    same_as_direct boolean — the folded sketch payload must be
+    BYTE-identical to a direct day-grain build's (HLL register-max is
+    order-invariant), so the fold is exactly the rollup a day build
+    would have produced. The oracle reproduces wstart + n_rows with
+    date_trunc and asserts the booleans true."""
+    import math
+    import tempfile
+
+    from sprout_spark.sketch import HyperLogLog
+    from sprout_spark.spark.rollup import SketchRollup
+
+    events = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    exact = {
+        str(r["w"]): (r["n"], r["d"])
+        for r in events.groupBy(F.date_trunc("day", "ts").alias("w"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    bound = 3 * 1.04 / math.sqrt(1 << 12)
+    with tempfile.TemporaryDirectory() as td:
+        hr = SketchRollup(
+            td + "/hr", factory=lambda: HyperLogLog(p=12), grain="hour"
+        )
+        hr.append(events.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+        hr.append(events.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+        day = hr.downsample(spark, td + "/day", "day")
+        direct = SketchRollup(
+            td + "/direct", factory=lambda: HyperLogLog(p=12), grain="day"
+        )
+        direct.append(events, "ts", "user_id")
+        from sprout_spark.sketch.base import sketch_from_bytes
+
+        got = {
+            row["wstart"]: (row["rows"], row["sketch"])
+            for row in day.windows(spark).collect()
+        }
+        ref = {
+            row["wstart"]: row["sketch"]
+            for row in direct.windows(spark).collect()
+        }
+    if set(got) != set(exact) or set(got) != set(ref):
+        raise AssertionError("downsampled window set != batch/direct window set")
+    rows = [
+        (
+            w,
+            int(got[w][0]),
+            bool(
+                abs(sketch_from_bytes(got[w][1]).estimate() - d)
+                <= bound * d + 1
+            ),
+            bool(got[w][1] == ref[w]),
+        )
+        for w, (n, d) in exact.items()
+    ]
+    if any(int(got[w][0]) != n for w, (n, _) in exact.items()):
+        raise AssertionError("row count through the hour->day fold is not exact")
+    return spark.createDataFrame(
+        rows,
+        "wstart string, n_rows bigint, est_ok boolean, same_as_direct boolean",
+    )
+
+
 def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup DECISION (Abbas et al. 2023's
     keep-one-per-semantic-cluster, embedding-cosine flavor): exact
@@ -2368,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_kll_value_range": q_rollup_kll_value_range,
         "rollup_bloom_user_range": q_rollup_bloom_user_range,
         "rollup_mg_type_range": q_rollup_mg_type_range,
+        "rollup_downsample_day": q_rollup_downsample_day,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
@@ -2755,6 +2825,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rollup_kll_value_range": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "rollup_downsample_day": (
+            # the hour->day fold must reproduce exact per-day counts
+            # (every hour window nests in one day window and counts
+            # sum); estimate and fold==direct byte-equality are
+            # Spark-side-verified booleans
+            "SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) "
+            "AS wstart, count(*) AS n_rows, true AS est_ok, "
+            "true AS same_as_direct FROM events GROUP BY 1"
         ),
         "rollup_bloom_user_range": (
             # zero-FN range membership through blind-append + OR merge:

@@ -53,6 +53,19 @@ from ..sketch.base import MergeableSketch, merge_serialized, sketch_from_bytes
 from .aggregate import build_grouped_sketches, collect_merged, tree_merge
 
 _GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+# which coarser grains a source grain may downsample into: valid iff
+# every source window nests inside exactly ONE destination window.
+# ISO weeks cross month/quarter/year boundaries, so "week" folds into
+# nothing and nothing except sub-day grains folds into "week".
+_NESTS = {
+    "minute": {"hour", "day", "week", "month", "quarter", "year"},
+    "hour": {"day", "week", "month", "quarter", "year"},
+    "day": {"week", "month", "quarter", "year"},
+    "week": set(),
+    "month": {"quarter", "year"},
+    "quarter": {"year"},
+    "year": set(),
+}
 _VERSION = 1
 # column names the rollup table itself owns; dims may not shadow them
 _RESERVED = ("wstart", "sketch", "rows", "__w")
@@ -557,6 +570,91 @@ class SketchRollup:
             self._save_manifest()
             self._sweep_orphans()
             return n
+
+    # -- downsample (continuous-aggregate hierarchy) --------------------------
+
+    def downsample(
+        self,
+        spark: SparkSession,
+        dest_path: str,
+        grain: str,
+        t0=None,
+        t1=None,
+        n_files: int = 1,
+    ) -> "SketchRollup":
+        """Materialize a NEW rollup at a coarser grain from this one's
+        partials — the continuous-aggregate HIERARCHY step (minute
+        partials age into hourly, hourly into daily): source window
+        starts re-truncate to the coarser grain and partials fold by
+        mergeability, so the result is EXACTLY the rollup a direct
+        build at that grain would produce — without ever rescanning
+        raw rows. Sketch pin and dims carry over; exact row counts sum.
+
+        Valid only when every source window nests inside one
+        destination window (``_NESTS``): hour→day is exact; week→month
+        would straddle month boundaries and refuses. ``[t0, t1)``
+        bounds (on the SOURCE window start) limit the fold — the aging
+        workflow downsamples last quarter's minutes into days and
+        leaves the hot tail fine-grained.
+
+        One-shot semantics: ``dest_path`` must not already hold a
+        rollup (a second downsample of the same source epochs into an
+        existing destination would double-count — blind appends are
+        only safe for disjoint DATA, not re-folds of the same data).
+        The destination commits with the package discipline: parquet
+        first under ``epoch=0``, fsync'd manifest swap as the commit
+        point. Returns the opened destination handle (factory
+        inherited, so reads work immediately)."""
+        if grain not in _GRAINS:
+            raise ValueError(f"grain must be one of {_GRAINS}, got {grain!r}")
+        if grain not in _NESTS[self.grain]:
+            raise ValueError(
+                f"cannot downsample {self.grain!r} windows into {grain!r}: "
+                f"source windows would straddle destination boundaries "
+                f"(valid targets from {self.grain!r}: "
+                f"{sorted(_NESTS[self.grain]) or 'none'})"
+            )
+        if n_files < 1:
+            raise ValueError(f"n_files must be >= 1, got {n_files}")
+        if os.path.exists(os.path.join(dest_path, "manifest.json")):
+            raise ValueError(
+                f"destination {dest_path!r} already holds a rollup; "
+                "downsample is one-shot (re-folding the same source into "
+                "an existing rollup would double-count) — pick a fresh path"
+            )
+        raw = self._filtered(spark, t0, t1, None)
+        group = ("wstart", *self.dims)
+        if raw is None:
+            folded = spark.createDataFrame([], self._row_schema())
+        else:
+            coarse = raw.withColumn(
+                "wstart",
+                F.date_trunc(grain, F.col("wstart").cast("timestamp")).cast(
+                    "string"
+                ),
+            )
+            folded = coarse.groupBy(*group).applyInArrow(
+                _merge_group_kernel(group), self._row_schema()
+            )
+        dest = object.__new__(SketchRollup)
+        dest.path = dest_path
+        dest.grain = grain
+        dest.dims = list(self.dims)
+        dest.pin = dict(self.pin)
+        dest.factory = self.factory
+        dest.epochs = []
+        dest.base = None
+        dest.last_epoch = -1
+        dest.tags = {}
+        os.makedirs(dest_path, exist_ok=True)
+        edir = os.path.join(dest_path, "epoch=0")
+        folded.repartition(n_files, "wstart").write.mode("overwrite").parquet(
+            edir
+        )
+        dest.last_epoch = 0
+        dest.epochs = [0]
+        dest._save_manifest()  # the commit point
+        return dest
 
 
 def stream_rollup(

