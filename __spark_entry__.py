@@ -1936,6 +1936,24 @@ def q_rollup_mg_type_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (operators/lm.py::
+    quality_buckets): percent_rank of a per-doc score within its
+    source group — here n_chars, an INTEGER score, so the rank (and
+    the bucket at the 1/3 and 2/3 cuts) is bit-exact in both engines;
+    percent_rank over ties is a pure function of the score multiset
+    (the reason the operator refuses ntile). NULL scores keep their
+    row with a NULL bucket. The LM-score composition (bucket the
+    unigram_logprob_scores output per lang) is pytest-gated — ln
+    differs across engines in the last ulp."""
+    from sprout_spark.operators.lm import quality_buckets
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quality_buckets(docs, "n_chars", by="source")
+
+
 def q_rollup_downsample_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup DOWNSAMPLE — the continuous-aggregate hierarchy step:
     hour-grain HLL partials (two blind epochs) fold into a NEW
@@ -2438,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_bloom_user_range": q_rollup_bloom_user_range,
         "rollup_mg_type_range": q_rollup_mg_type_range,
         "rollup_downsample_day": q_rollup_downsample_day,
+        "quality_buckets_docs": q_quality_buckets_docs,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "session_stats_events": q_session_stats_events,
         "asof_join_events": q_asof_join_events,
@@ -2825,6 +2844,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rollup_kll_value_range": (
             f"SELECT * FROM (VALUES {qs_values}) AS t(q, ok)"
+        ),
+        "quality_buckets_docs": (
+            # integer scores -> percent_rank and the 1/3, 2/3 cut
+            # comparisons are bit-exact in both engines; ties share a
+            # rank, so the bucket is a pure function of the multiset
+            "SELECT doc_id, source, n_chars, "
+            "CASE WHEN pr < 1.0/3.0 THEN 'head' "
+            "WHEN pr < 2.0/3.0 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM (SELECT doc_id, source, n_chars, "
+            "percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC) "
+            "AS pr FROM documents WHERE n_chars IS NOT NULL) "
+            "UNION ALL SELECT doc_id, source, n_chars, NULL AS bucket "
+            "FROM documents WHERE n_chars IS NULL"
         ),
         "rollup_downsample_day": (
             # the hour->day fold must reproduce exact per-day counts

@@ -23,7 +23,7 @@ from .dedup import (
     token_sets,
     verify_jaccard,
 )
-from .lm import train_unigram_lm, unigram_logprob_scores
+from .lm import quality_buckets, train_unigram_lm, unigram_logprob_scores
 from .lines import (
     boilerplate_lines,
     dedup_lines_keep_first,

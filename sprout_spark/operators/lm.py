@@ -111,3 +111,59 @@ def unigram_logprob_scores(
             ),
         )
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    by: str | None = None,
+    cuts: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 §4.3: corpora
+    split into head/middle/tail by per-language perplexity percentile):
+    label each row by the PERCENT RANK of ``score_col`` within its
+    ``by`` group (ascending — with the package's negative-log-prob
+    ``score``, lower = more reference-like = ``head``). Rows with
+    percent_rank < cuts[0] get labels[0], < cuts[1] labels[1], ...,
+    else labels[-1]. NULL scores get a NULL bucket (the caller's
+    threshold policy decides, never a silent drop — the
+    ``unigram_logprob_scores`` token-less-doc convention).
+
+    ``percent_rank`` (= (rank-1)/(n-1), ties SHARE a rank) is chosen
+    over ``ntile`` deliberately: ntile splits ties by row order, which
+    is shuffle-nondeterministic and engine-divergent; percent_rank is a
+    pure function of the score multiset, so re-runs and the SQL twin
+    agree exactly. Single-row groups (n=1) have percent_rank 0 ->
+    labels[0].
+
+    Plan: ONE exchange on the group key and an in-task sort — the
+    window is the whole cost. At 10^12 rows per group, compute the cut
+    VALUES on a per-group sketch instead (``build_grouped_sketches`` +
+    t-digest ``quantile(c)``, broadcast the ≤groups×cuts map, one
+    map-only comparison pass) and accept the sketch's rank tolerance at
+    the boundaries; this exact operator is the oracle-comparable
+    contract."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts)+1, got {len(labels)} labels "
+            f"for {len(cuts)} cuts"
+        )
+    if list(cuts) != sorted(cuts) or any(not 0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"cuts must be strictly increasing in (0,1): {cuts}")
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(F.lit(1) if by is None else F.col(by))
+    w = part.orderBy(F.col(score_col).asc())
+    scored = df.where(F.col(score_col).isNotNull()).withColumn(
+        "_pr", F.percent_rank().over(w)
+    )
+    expr = F.lit(labels[-1])
+    for c, lab in zip(reversed(cuts), reversed(labels[:-1])):
+        expr = F.when(F.col("_pr") < float(c), F.lit(lab)).otherwise(expr)
+    bucketed = scored.withColumn(out_col, expr).drop("_pr")
+    nulls = df.where(F.col(score_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("string")
+    )
+    return bucketed.unionByName(nulls)

@@ -571,6 +571,41 @@ class SketchRollup:
             self._sweep_orphans()
             return n
 
+    # -- retention ------------------------------------------------------------
+
+    def expire(self, spark: SparkSession, before, n_files: int = 1) -> int:
+        """Drop every window with ``wstart < before`` — the retention
+        step that pairs with :meth:`downsample` (age last quarter's
+        minutes into a day-grain rollup, then expire the minutes).
+        DELIBERATELY answer-changing: range queries that reach below
+        ``before`` lose those windows, so run the downsample FIRST and
+        point historical queries at the coarse rollup.
+
+        Implemented as a filtered compaction: surviving rows rewrite
+        into a new base generation (merged per (window, dims) on the
+        way — an expire doubles as a compact), the fsync'd manifest
+        swap is the commit point, superseded epoch dirs are swept
+        after. Idempotency tags are KEPT — a late replay of an
+        already-expired batch must still skip, not re-admit expired
+        rows. Returns the number of surviving window rows."""
+        if n_files < 1:
+            raise ValueError(f"n_files must be >= 1, got {n_files}")
+        cutoff = _norm_bound(before)
+        with self._write_lock():
+            merged = self.windows(spark).where(F.col("wstart") >= cutoff)
+            gen = f"compact-g{self.last_epoch + 1}"
+            gdir = os.path.join(self.path, gen)
+            merged.repartition(n_files, "wstart").write.mode(
+                "overwrite"
+            ).parquet(gdir)
+            n = spark.read.parquet(gdir).count()
+            self.last_epoch += 1
+            self.epochs = []
+            self.base = gen
+            self._save_manifest()
+            self._sweep_orphans()
+            return n
+
     # -- downsample (continuous-aggregate hierarchy) --------------------------
 
     def downsample(

@@ -107,3 +107,69 @@ def test_unigram_reference_slice_and_parallelism_invariance(spark):
             assert alt[did]["score"] is None
         else:
             assert alt[did]["score"] == pytest.approx(got[did]["score"], rel=1e-9)
+
+
+def test_quality_buckets_semantics(spark):
+    """percent_rank bucketing: per-group cuts at 1/3 and 2/3; ties share
+    a rank (all tied rows land in one bucket — the ntile-refusal
+    property); single-row groups are head; NULL scores keep their row
+    with a NULL bucket; guards refuse bad cuts/labels."""
+    from sprout_spark.operators.lm import quality_buckets
+
+    rows = [
+        # group g1: scores 1..6 -> pr = 0, .2, .4, .6, .8, 1.0
+        (1, "g1", 1.0), (2, "g1", 2.0), (3, "g1", 3.0),
+        (4, "g1", 4.0), (5, "g1", 5.0), (6, "g1", 6.0),
+        # group g2: a 4-way tie + one higher -> tied rows share pr=0
+        (7, "g2", 9.0), (8, "g2", 9.0), (9, "g2", 9.0),
+        (10, "g2", 9.0), (11, "g2", 99.0),
+        # singleton group + a NULL score
+        (12, "g3", 42.0), (13, "g1", None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    got = {r["id"]: r["bucket"] for r in
+           quality_buckets(df, "score", by="grp").collect()}
+    assert got[1] == got[2] == "head"          # pr 0, .2 < 1/3
+    assert got[3] == got[4] == "middle"        # .4, .6 < 2/3
+    assert got[5] == got[6] == "tail"          # .8, 1.0
+    assert got[7] == got[8] == got[9] == got[10] == "head"  # tie shares pr=0
+    assert got[11] == "tail"                   # pr=1.0
+    assert got[12] == "head"                   # singleton: pr=0
+    assert got[13] is None                     # NULL score -> NULL bucket
+    assert len(got) == len(rows)               # no silent drops
+    with pytest.raises(ValueError, match="labels"):
+        quality_buckets(df, "score", labels=("a", "b"), cuts=(0.2, 0.6))
+    with pytest.raises(ValueError, match="cuts"):
+        quality_buckets(df, "score", cuts=(0.6, 0.2))
+    with pytest.raises(ValueError, match="cuts"):
+        quality_buckets(df, "score", cuts=(0.0, 0.5))
+
+
+def test_quality_buckets_composes_with_lm_scores(spark):
+    """The CCNet chain: unigram LM scores -> per-lang percentile
+    buckets. Reference-like docs land in head, junk in tail, within
+    each language group."""
+    from sprout_spark.operators.lm import quality_buckets
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    model = train_unigram_lm(ref, "text", vocab_size=100)
+    rows = []
+    for lang in ("en", "de"):
+        base = 100 if lang == "en" else 200
+        for i in range(6):
+            rows.append((base + i, lang, "the quick brown fox jumps"))
+        for i in range(3):
+            rows.append((base + 10 + i, lang, f"zzz{i} qqq{i} xxx{i} vvv{i}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    scored = unigram_logprob_scores(docs, "doc_id", "text", model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    got = quality_buckets(scored, "score", by="lang")
+    for r in got.collect():
+        if r["doc_id"] % 100 < 10:
+            assert r["bucket"] == "head", r      # in-vocab docs: best ranks
+        else:
+            assert r["bucket"] == "tail", r      # junk: worst ranks

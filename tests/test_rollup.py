@@ -539,3 +539,39 @@ def test_rollup_downsample_range_dims_and_refusals(spark, tmp_path):
         hr.downsample(spark, str(tmp_path / "x3"), "fortnight")
     with pytest.raises(ValueError, match="n_files"):
         hr.downsample(spark, str(tmp_path / "x4"), "day", n_files=0)
+
+
+def test_rollup_expire_retention(spark, tmp_path):
+    """expire(before) drops windows below the cutoff and keeps the rest
+    byte-identical (it doubles as a compact); tags survive so a late
+    replay of an expired batch still skips; post-expire appends work;
+    the aging pair (downsample then expire) leaves history queryable at
+    the coarse grain."""
+    df = _events(spark, with_null=False)
+    r = SketchRollup(str(tmp_path / "re"), factory=_hll, grain="day")
+    r.append(df.where(F.col("event_id") % 2 == 0), "ts", "user_id", tag="b0")
+    r.append(df.where(F.col("event_id") % 2 == 1), "ts", "user_id", tag="b1")
+    before_rows = {x["wstart"]: x for x in r.windows(spark).collect()}
+    coarse = r.downsample(spark, str(tmp_path / "hist"), "month")
+    cutoff = "2024-03-08"
+    n = r.expire(spark, cutoff)
+    after = {x["wstart"]: x for x in r.windows(spark).collect()}
+    assert n == len(after) == sum(1 for w in before_rows if w >= f"{cutoff} 00:00:00")
+    for w, row in after.items():
+        assert w >= f"{cutoff} 00:00:00"
+        assert row["sketch"] == before_rows[w]["sketch"]
+        assert row["rows"] == before_rows[w]["rows"]
+    # tag replay still skips after expire (no re-admission)
+    assert r.append(df.where(F.col("event_id") % 2 == 0), "ts", "user_id", tag="b0") == 0
+    # the coarse rollup still answers history the fine one expired
+    hist = {x["wstart"] for x in coarse.windows(spark).collect()}
+    assert "2024-03-01 00:00:00" in hist
+    # post-expire appends land normally
+    extra = spark.createDataFrame(
+        [(10**6, __import__("datetime").datetime(2024, 3, 20, 5, 0, 0), 7)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    assert r.append(extra, "ts", "user_id") == 1
+    assert "2024-03-20 00:00:00" in {x["wstart"] for x in r.windows(spark).collect()}
+    with pytest.raises(ValueError, match="n_files"):
+        r.expire(spark, cutoff, n_files=0)

@@ -190,6 +190,9 @@ def _min_label_components(pairs):
         # hierarchy step: hour->day fold == direct day build, byte
         # equality re-proven over ~816 hour windows at 10x rows
         "rollup_downsample_day",
+        # CCNet bucketing: one window per engine over integer scores —
+        # linear; sf0.1 ranks ~50k docs within each source group
+        "quality_buckets_docs",
         # SemDeDup decision chain: 2000 vectors -> 920 exact pairs at
         # tau=0.4; the all-pairs cosine oracle + recursive closure are
         # sub-second in DuckDB at this embedding-table scale
