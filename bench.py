@@ -587,6 +587,64 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
             "doc_id", "text", threshold=0.9, max_bucket=256,
         ).count(),
     )
+    # cross-corpus containment on the same 2:1 split: the
+    # decontamination coverage pass — murmur kernel, product-cap guard
+    # at the boilerplate setting
+    from sprout_spark.operators.dedup import containment_pairs_between
+
+    timed(
+        "cross_containment_docs",
+        lambda: containment_pairs_between(
+            docs0.where(F.col("doc_id") % 3 == 0),
+            docs0.where(F.col("doc_id") % 3 != 0),
+            "doc_id", "text", gram=8, keep=16, threshold=0.5,
+            max_fp_pairs=256,
+        ).count(),
+    )
+    # semantic dedup decision chain on the UNTILED embeddings: exact
+    # cosine pair graph (JVM dot products) -> pointer-jumping
+    # components -> survivor window — the SemDeDup shape end to end
+    from sprout_spark.operators.dedup import (
+        duplicate_clusters,
+        resolve_duplicates,
+    )
+    from sprout_spark.operators.similarity import cosine_pairs_exact
+
+    def _semantic():
+        pairs = cosine_pairs_exact(
+            emb0, "vec_id", "embedding", 0.4
+        ).select("a", "b")
+        return resolve_duplicates(
+            emb0.select("vec_id", "label"), "vec_id",
+            duplicate_clusters(pairs), "label",
+        ).count()
+
+    timed("semantic_dedup_embeddings", _semantic)
+    # rollup hierarchy: hour-grain build + hour->day downsample fold —
+    # the aging path's cost (fold reads partials only, never raw rows)
+    def _downsample():
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            r = SketchRollup(
+                td + "/hr", factory=lambda: HyperLogLog(p=12), grain="hour"
+            )
+            r.append(events_b, "ts", "user_id")
+            return r.downsample(spark, td + "/day", "day").windows(
+                spark
+            ).count()
+
+    timed("rollup_downsample_events", _downsample)
+    # CCNet bucketing: one window per source group over integer scores
+    from sprout_spark.operators.lm import quality_buckets
+
+    timed(
+        "quality_buckets_docs",
+        lambda: quality_buckets(
+            docs0.select("doc_id", "source", "n_chars"), "n_chars",
+            by="source",
+        ).count(),
+    )
 
     dim = len(emb.select("embedding").first()[0])
     cents = train_ivf_centroids(emb, "vec_id", "embedding", dim, n_cells=16)
