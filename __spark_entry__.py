@@ -2031,20 +2031,14 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the smaller vec_id; singletons survive). The oracle replays the
     whole chain — list_cosine_similarity pairs, recursive-CTE closure,
     window top-1 — so one equality gates pair detection, clustering,
-    and the survivor policy together. The SRP-bucketed pair generator
-    (embedding_near_dup_pairs) is the 100-TB candidate path; the exact
-    pair graph keeps this gate oracle-equal."""
-    from sprout_spark.operators.dedup import (
-        duplicate_clusters,
-        resolve_duplicates,
-    )
-    from sprout_spark.operators.similarity import cosine_pairs_exact
+    and the survivor policy together. ``exact=True`` keeps the gate
+    oracle-equal; the default SRP-bucketed candidate path is the
+    100-TB variant (pytest-gated against this one)."""
+    from sprout_spark.operators.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_exact(emb, "vec_id", "embedding", 0.4).select("a", "b")
-    clusters = duplicate_clusters(pairs)
-    return resolve_duplicates(
-        emb.select("vec_id", "label"), "vec_id", clusters, "label"
+    return semantic_dedup(
+        emb, "vec_id", "embedding", "label", min_cosine=0.4, exact=True
     ).select("vec_id", "label")
 
 

@@ -55,6 +55,7 @@ from .similarity import (
     cosine_pairs_exact,
     cosine_topk,
     embedding_near_dup_pairs,
+    semantic_dedup,
     ivf_cell_stats,
     read_ivf_centroids,
     srp_bucket_stats,

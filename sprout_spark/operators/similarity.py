@@ -870,3 +870,48 @@ def compact_srp_index(spark, path: str, n_files: int = 8) -> DataFrame:
     shutil.rmtree(path)
     os.rename(tmp, path)
     return spark.read.parquet(path)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    quality_col: str,
+    dim: int | None = None,
+    min_cosine: float = 0.95,
+    exact: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) in one call: keep ONE document per
+    semantic cluster — cosine near-dup pair graph → connected
+    components → highest-``quality_col``-survives (NULL quality last,
+    ties on ``tie_col``, default the id — deterministic re-runs). All
+    input columns pass through on survivors.
+
+    Candidate generation is the scale knob: the default routes through
+    :func:`embedding_near_dup_pairs` (shared-SRP-bucket candidates,
+    exact JVM cosine verify — candidates stay bucket-bounded at 100-TB
+    corpus sizes; raise ``n_tables`` to push pair recall up);
+    ``exact=True`` swaps in the all-pairs :func:`cosine_pairs_exact`
+    graph — O(n²), the oracle contract (the ``semantic_dedup_embeddings``
+    driver query gates exactly this composition). Either way the
+    verify is exact, so every emitted pair is a true >= ``min_cosine``
+    pair; only recall differs. ``dim`` is required for the SRP path
+    (plane geometry)."""
+    from .dedup import duplicate_clusters, resolve_duplicates
+
+    if exact:
+        pairs = cosine_pairs_exact(df, id_col, vec_col, min_cosine)
+    else:
+        if dim is None:
+            raise ValueError(
+                "dim= is required for the SRP candidate path "
+                "(pass exact=True for the all-pairs oracle graph)"
+            )
+        pairs = embedding_near_dup_pairs(
+            df, id_col, vec_col, dim, min_cosine, n_planes, n_tables
+        )
+    clusters = duplicate_clusters(pairs.select("a", "b"))
+    return resolve_duplicates(df, id_col, clusters, quality_col, tie_col)

@@ -1638,3 +1638,45 @@ def test_compact_srp_index_folds_small_files(spark, emb, tmp_path):
     append_to_srp_index(emb.where("vec_id >= 200"), "vec_id", "embedding",
                         32, n_planes=8, n_tables=4, path=p)
     assert spark.read.parquet(p).select("id").distinct().count() == emb.count()
+
+
+def test_semantic_dedup_one_call_srp_vs_exact(spark):
+    """The one-call SemDeDup operator: exact mode reproduces the
+    composed chain; the SRP candidate path with enough tables finds
+    the same survivors on a planted-cluster fixture; dim guard."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sprout_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # 4 tight semantic clusters of 5 + 10 isolated vectors, dim 16
+    vid = 0
+    for c in range(4):
+        center = rng.normal(size=16)
+        center /= np.linalg.norm(center)
+        for i in range(5):
+            v = center + rng.normal(scale=0.01, size=16)
+            rows.append((vid, [float(x) for x in v], c * 10 + i))
+            vid += 1
+    for i in range(10):
+        v = rng.normal(size=16)
+        rows.append((vid, [float(x) for x in v], 0))
+        vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    exact = {r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", "label", min_cosine=0.95, exact=True
+    ).collect()}
+    # one survivor per planted cluster (the label-max member) + isolates
+    assert len(exact) == 4 + 10
+    assert {4, 9, 14, 19} <= exact  # the i=4 (max-label) member wins each cluster
+    srp = {r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", "label", dim=16, min_cosine=0.95,
+        n_planes=8, n_tables=24,
+    ).collect()}
+    assert srp == exact  # enough tables: same pair graph, same survivors
+    with _pytest.raises(ValueError, match="dim"):
+        semantic_dedup(df, "vec_id", "embedding", "label")
