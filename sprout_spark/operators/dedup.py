@@ -482,9 +482,16 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     edges = pairs.select(
         F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b")
     )
+    # Materialize the edge list ONCE before iterating: every round joins
+    # against ``und``, and without this checkpoint each round re-executes
+    # the caller's entire pair-generation lineage (LSH banding, exact
+    # cosine verify, ...) — O(rounds × candidate-generation) instead of
+    # O(rounds × |edges|). At corpus scale the pair generation dwarfs the
+    # label propagation, so the cut is mandatory, not a cache nicety
+    # (measured: the exact-cosine semantic-dedup chain dropped ~20x).
     und = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint()
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()

@@ -743,13 +743,24 @@ def cosine_pairs_exact(
         F.col(id_col).cast("bigint").alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    a = vecs.select(F.col("vid").alias("a"), F.col("vec").alias("va"))
-    b = vecs.select(F.col("vid").alias("b"), F.col("vec").alias("vb"))
+    # Norms are per-VECTOR, so compute them once per side before the
+    # cross join — inside the join each would be re-evaluated per PAIR
+    # (n× redundant passes through the interpreted higher-order
+    # aggregate). Same adds in the same order, so cosine values stay
+    # bit-identical to the naive form (the oracle contract).
+    nrm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda acc, x: acc + x * x))
+    vecs = vecs.withColumn("nrm", nrm)
+    a = vecs.select(
+        F.col("vid").alias("a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vecs.select(
+        F.col("vid").alias("b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    na = F.col("na")
+    nb = F.col("nb")
     return (
         a.crossJoin(b)
         .where(F.col("a") < F.col("b"))
