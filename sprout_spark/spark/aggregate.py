@@ -58,6 +58,11 @@ SKETCH_ROW_SCHEMA = (
     "part_id bigint, sketch binary, rows bigint, build_ms double"
 )
 
+# dict slot for the NULL-key group in the map-combine partial build (a
+# plain None key would collide with nothing, but a sentinel keeps the
+# "is this the null group" check identity-based and explicit)
+_NULL_KEY = object()
+
 
 def _is_numeric_arrow(arr_type: pa.DataType) -> bool:
     return (
@@ -465,6 +470,7 @@ def build_grouped_sketches(
     factory: Callable[[], MergeableSketch],
     salt: int = 0,
     weight_col: str | None = None,
+    combine: str = "shuffle",
 ) -> DataFrame:
     """Per-key sketches: DataFrame[key string, sketch binary, rows bigint].
 
@@ -484,7 +490,27 @@ def build_grouped_sketches(
     weights)`` for the numeric quantile sketches (t-digest, KLL);
     sketches with neither fail loud at the driver. NULL/non-positive
     weights drop in the numeric path, count 0 in the hash path.
+
+    ``combine`` picks the physical plan (mergeability makes the result
+    byte-equal either way):
+
+    * ``"shuffle"`` (default, the historical plan): raw rows shuffle on
+      (key[, salt]) and each group builds in one task. Right when key
+      cardinality approaches row count (per-partition partial dicts
+      would explode) — the per-conversation build over 10^9 conv_ids.
+    * ``"map"`` — the classic map-side combine: every input partition
+      builds one partial sketch per key it sees (vectorized key-run
+      slicing over Arrow batches, zero per-row Python), and only the
+      O(partitions × keys-per-partition) SKETCH rows shuffle for the
+      per-key merge; raw rows never move. Right when keys are bounded
+      (time windows, event types, sources) and rows are not — the
+      rollup append at 10^12 turns shuffles kilobyte partials instead
+      of the corpus. Hot keys cost nothing extra: their rows stay where
+      the scan put them. ``salt`` is ignored (it exists to split hot
+      groups across tasks, which map combine already does).
     """
+    if combine not in ("shuffle", "map"):
+        raise ValueError(f"combine must be 'shuffle' or 'map', got {combine!r}")
     out_schema = "key string, sketch binary, rows bigint"
 
     # grouped-build analog of _warn_if_partials_oversized: HLL/CMS
@@ -555,6 +581,99 @@ def build_grouped_sketches(
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("_w"))
     base = df.select(*cols)
+    if combine == "map":
+        weighted = weight_col is not None
+
+        def partial_batches(batches):
+            import pyarrow.compute as pc
+
+            # key -> [sketch, rows]; bounded by the keys THIS partition
+            # sees, which is the mode's applicability condition
+            acc: dict[object, list] = {}
+            warned = False
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                if tbl.num_rows == 0:
+                    continue
+                karr = tbl.column(key_col).combine_chunks()
+                # NULL keys form their own group (groupBy parity)
+                if karr.null_count:
+                    nmask = pc.is_null(karr)
+                    ntbl = tbl.filter(nmask)
+                    ent = acc.get(_NULL_KEY)
+                    if ent is None:
+                        ent = acc[_NULL_KEY] = [factory(), 0]
+                    narr = ntbl.column(val_col).combine_chunks()
+                    if len(narr):
+                        if weighted:
+                            _update_sketch_from_arrow_weighted(
+                                ent[0], narr,
+                                ntbl.column("_w").combine_chunks(),
+                                weighted_kind,
+                            )
+                        else:
+                            _update_sketch_from_arrow(ent[0], narr)
+                    ent[1] += ntbl.num_rows
+                    tbl = tbl.filter(pc.invert(nmask))
+                    if tbl.num_rows == 0:
+                        continue
+                    karr = tbl.column(key_col).combine_chunks()
+                # dictionary-encode once, then stable-argsort the int
+                # codes — contiguous key runs with ONE take of the
+                # value column, no string sort
+                enc = pc.dictionary_encode(karr)
+                codes = np.asarray(enc.indices)
+                kvals = enc.dictionary.to_pylist()
+                order = np.argsort(codes, kind="stable")
+                sorted_codes = codes[order]
+                taken = tbl.take(pa.array(order))
+                varr = taken.column(val_col).combine_chunks()
+                warr = taken.column("_w").combine_chunks() if weighted else None
+                cuts = np.flatnonzero(np.diff(sorted_codes)) + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [len(sorted_codes)]))
+                for s, e in zip(starts, ends):
+                    k = kvals[sorted_codes[s]]
+                    ent = acc.get(k)
+                    if ent is None:
+                        ent = acc[k] = [factory(), 0]
+                        if len(acc) > 262_144 and not warned:
+                            import warnings
+
+                            warnings.warn(
+                                "map-combine partial dict exceeded 262k "
+                                "keys in one partition; key cardinality "
+                                "approaches row count — use "
+                                "combine='shuffle' (rows group by key "
+                                "instead of per-partition sketch dicts)",
+                                stacklevel=2,
+                            )
+                            warned = True
+                    vslice = varr.slice(s, e - s)
+                    if weighted:
+                        _update_sketch_from_arrow_weighted(
+                            ent[0], vslice, warr.slice(s, e - s), weighted_kind
+                        )
+                    else:
+                        _update_sketch_from_arrow(ent[0], vslice)
+                    ent[1] += e - s
+            if acc:
+                keys_out, sk_out, rows_out = [], [], []
+                for k, (sk, n) in acc.items():
+                    keys_out.append(None if k is _NULL_KEY else k)
+                    sk_out.append(sk.to_bytes())
+                    rows_out.append(n)
+                yield pa.record_batch(
+                    [
+                        pa.array(keys_out, pa.string()),
+                        pa.array(sk_out, pa.binary()),
+                        pa.array(rows_out, pa.int64()),
+                    ],
+                    names=["key", "sketch", "rows"],
+                )
+
+        partials = base.mapInArrow(partial_batches, out_schema)
+        return partials.groupBy("key").applyInArrow(merge_group, out_schema)
     if salt and salt > 1:
         salted = base.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(val_col)), F.lit(salt))

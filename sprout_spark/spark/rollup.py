@@ -18,10 +18,14 @@ optimization, never a correctness step.
 Skew note (the one non-obvious scale hazard): grain windows are
 low-cardinality, deliberately hot keys — at 10^12 rows/year every
 day-window holds ~2.7e9 rows, which would funnel into ONE task under a
-plain groupBy. The build therefore defaults to the salted two-phase
-grouped build (``build_grouped_sketches(salt=64)``): phase 1 spreads a
-window's rows over 64 tasks by value hash, phase 2 merges the ≤64
-per-salt partials — exact, again by mergeability.
+plain groupBy. The build therefore defaults to the MAP-SIDE COMBINE
+(``build_grouped_sketches(combine="map")``): every input partition
+sketches the windows it sees and only kilobyte sketch rows shuffle for
+the per-window merge — raw rows never move, and a hot window costs
+nothing extra because its rows stay wherever the scan put them. The
+row-shuffling salted build (``combine="shuffle", salt=64``) remains for
+degenerate key spaces whose cardinality approaches the row count; both
+are exact by mergeability.
 
 Commit discipline (the package convention — sources/kv_store.py,
 sources/corpus_shards.py): epoch parquet lands first under a dir
@@ -284,6 +288,7 @@ class SketchRollup:
         salt: int = 64,
         weight_col: str | None = None,
         tag: str | None = None,
+        combine: str = "map",
     ) -> int:
         """Build this batch's per-(window, dims) partials and commit
         them as one epoch. Never reads existing data — duplicate
@@ -304,7 +309,20 @@ class SketchRollup:
         the tag turns the replay into a no-op. Tags survive
         :meth:`compact` (a replayed batch after compaction must still
         skip). The namespace is the caller's: two different streams
-        into one rollup need distinct tag prefixes."""
+        into one rollup need distinct tag prefixes.
+
+        ``combine="map"`` (default) builds per-(window, dims) partials
+        map-side — each input partition sketches the windows it sees and
+        only kilobyte sketch rows shuffle for the per-key merge, never
+        raw turns. A rollup's key space (windows × dims) is bounded by
+        construction while its row count is not, which is exactly the
+        map-combine applicability condition; hot windows need no salt
+        because their rows stay in place. ``combine="shuffle"`` restores
+        the row-shuffling (key, salt) build (``salt`` only applies
+        there) for degenerate dims whose cardinality approaches the row
+        count. Mergeability makes the committed partials byte-equal for
+        the idempotent sketches (HLL/CMS/Bloom) and bound-equivalent for
+        the order-sensitive ones (t-digest/KLL) either way."""
         if self.factory is None:
             raise ValueError(
                 "append needs the sketch factory; reopen with factory= "
@@ -342,6 +360,7 @@ class SketchRollup:
                 self.factory,
                 salt=salt,
                 weight_col=weight_col,
+                combine=combine,
             )
             parsed = grouped.select(
                 F.from_json("key", key_schema).alias("__k"), "sketch", "rows"
@@ -372,6 +391,7 @@ class SketchRollup:
         salt: int = 64,
         weight_col: str | None = None,
         tag_prefix: str = "stream",
+        combine: str = "map",
     ):
         """A ``foreachBatch`` hook: each micro-batch commits as one
         tagged epoch (``<tag_prefix>-<epoch_id>``), so restarts that
@@ -387,6 +407,7 @@ class SketchRollup:
                 salt=salt,
                 weight_col=weight_col,
                 tag=f"{tag_prefix}-{int(epoch_id)}",
+                combine=combine,
             )
 
         return sink

@@ -656,3 +656,83 @@ def test_build_weighted_sketch_misra_gries(spark, transcripts):
     for tool, true_w in exact.items():
         est = mg.estimate(tool)
         assert est <= true_w <= est + mg.deficit, (tool, est, true_w)
+
+
+def test_grouped_map_combine_byte_equal(spark, transcripts):
+    """combine='map' (map-side partials, sketch-only shuffle) must
+    produce byte-identical per-key sketches to the row-shuffling build
+    for the idempotent sketches — HLL registers are maxes and CMS
+    counters are sums, so the merged state is plan-shape-independent."""
+    tool_rows = transcripts.where(F.col("tool") != "")
+    for fac in (lambda: HyperLogLog(p=12), lambda: CountMinSketch(0.01, 0.01)):
+        shuf = {
+            r["key"]: (bytes(r["sketch"]), r["rows"])
+            for r in build_grouped_sketches(
+                tool_rows, "tool", "conv_id", fac, salt=8
+            ).collect()
+        }
+        mapc = {
+            r["key"]: (bytes(r["sketch"]), r["rows"])
+            for r in build_grouped_sketches(
+                tool_rows, "tool", "conv_id", fac, combine="map"
+            ).collect()
+        }
+        assert shuf == mapc
+
+
+def test_grouped_map_combine_null_keys_and_weighted(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", None, "b", None, "a"],
+            "v": [1, 2, 3, 4, 5, 1],
+            "w": [2, 1, 1, 3, 1, 1],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    got = build_grouped_sketches(
+        df, "g", "v", lambda: CountMinSketch(0.001, 0.001), combine="map",
+        weight_col="w",
+    )
+    rows = {r["key"]: r["rows"] for r in got.collect()}
+    # NULL keys are their own group (groupBy parity), rows counted
+    assert rows == {"a": 3, "b": 1, None: 2}
+    ests = {
+        r["key"]: r["estimate"]
+        for r in grouped_estimate(got, lambda s: float(s.estimate(1))).collect()
+    }
+    # weighted: key 'a' saw v=1 with weights 2+1=3 (tiny CMS -> exact)
+    assert ests["a"] == 3.0
+
+
+def test_grouped_map_combine_quantiles_within_bounds(spark, transcripts):
+    """t-digest merge is order-sensitive, so map-combine is not
+    byte-equal — but the estimate must stay within the same bound the
+    salted build is held to."""
+    lens = transcripts.select("role", F.length("text").cast("double").alias("len"))
+    g = build_grouped_sketches(
+        lens, "role", "len", lambda: TDigest(100), combine="map"
+    )
+    med = {
+        r["key"]: r["estimate"]
+        for r in grouped_estimate(g, lambda s: s.quantile(0.5)).collect()
+    }
+    for role, est in med.items():
+        lo, hi = (
+            lens.where(F.col("role") == role)
+            .agg(
+                F.expr("percentile(len, 0.40)").alias("lo"),
+                F.expr("percentile(len, 0.60)").alias("hi"),
+            )
+            .first()
+        )
+        assert lo <= est <= hi
+
+
+def test_grouped_map_combine_rejects_bad_mode(spark, transcripts):
+    with pytest.raises(ValueError, match="combine"):
+        build_grouped_sketches(
+            transcripts, "tool", "conv_id", lambda: HyperLogLog(p=12),
+            combine="reduce",
+        )
