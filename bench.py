@@ -620,6 +620,17 @@ def run_pipeline_suite(spark, sf_dir: str) -> tuple[dict, int]:
         ).count()
 
     timed("semantic_dedup_embeddings", _semantic)
+    # the 100-TB candidate path for the same decision: SRP-bucketed
+    # candidates (exact cosine verify inside buckets) instead of the
+    # O(n²) oracle graph — this is the plan a real corpus runs
+    from sprout_spark.operators.similarity import semantic_dedup
+
+    timed(
+        "semantic_dedup_srp_embeddings",
+        lambda: semantic_dedup(
+            emb0, "vec_id", "embedding", "label", dim=64, min_cosine=0.4
+        ).count(),
+    )
     # rollup hierarchy: hour-grain build + hour->day downsample fold —
     # the aging path's cost (fold reads partials only, never raw rows)
     def _downsample():
@@ -800,18 +811,22 @@ def main() -> None:
     # Protocol for minute-scale hypervisor steal (BENCH/BASELINE.md):
     # FIXED, unconditioned rep counts — rep counts never depend on the
     # measured values, so the protocol cannot steer the result toward
-    # the target. The slow level is stable run-to-run (~100-107s across
-    # many sessions) and gets min-of-2; the fast level's ~30s runs fit
-    # entirely inside one bad steal window, so it gets min-of-4 spread
-    # over the several minutes the interleaved slow runs take. The box
-    # protocol (8->32) gets min-of-2 each, interleaved for the same
-    # reason.
+    # the target. Min-of-N per level converges on the steal-free time
+    # (steal only ever ADDS wall time), so more reps = higher fidelity,
+    # and the levels interleave so a bad window hits both. The slow
+    # level gets min-of-3; the fast level's ~30s runs fit entirely
+    # inside one bad steal window (an r5 closing run drew min-of-4 reps
+    # ALL inside a slow window, reading 0.74 efficiency on code whose
+    # prior same-day run measured 1.0+), so it gets min-of-6 spread over
+    # the ~8 minutes the interleaved slow runs take. The box protocol
+    # (8->32) gets min-of-2 each, interleaved for the same reason.
     slow, fast = SCALING_LEVELS
     box_lo, box_hi = SCALING_LEVELS_BOX
-    for i in range(4):
+    for i in range(6):
         timed_run(fast)
-        if i < 2:
+        if i < 3:
             timed_run(slow)
+        if i < 2:
             timed_run(box_lo)
             timed_run(box_hi)
     scaling = {c: min(v) for c, v in runs.items()}
