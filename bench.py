@@ -1070,10 +1070,11 @@ def write_md(result: dict, t_full: float) -> None:
             "CMS-tool-frequencies simultaneously (64 input files, "
             "fanin-64 single-round merge) — at two parallelism levels on the "
             "same input, one fresh session per timed run with an untimed "
-            "warm-up; fixed unconditioned reps — slow level min-of-2, "
-            "fast level min-of-4 spread across minutes (hypervisor steal "
-            "windows are minute-scale; rep counts never depend on the "
-            "measured values).\n\n"
+            "warm-up; fixed unconditioned reps — slow level min-of-3, "
+            "fast level min-of-6 spread across minutes (hypervisor steal "
+            "windows are minute-scale and steal only ever ADDS wall time, "
+            "so min-of-N converges on the steal-free time; rep counts "
+            "never depend on the measured values).\n\n"
             "| level | wall sec | throughput (rows/s) |\n|---|---|---|\n"
             f"| local[{lo}] | {t_small:.3f} | "
             f"{rows_flagship / t_small:,.0f} |\n"
