@@ -778,16 +778,35 @@ def embedding_near_dup_pairs(
     min_cosine: float = 0.95,
     n_planes: int = 12,
     n_tables: int = 8,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs via shared SRP buckets,
-    exact-verified JVM-side: (a, b, cosine)."""
+    exact-verified JVM-side: (a, b, cosine).
+
+    Hot-bucket guard (``max_bucket``/``oversize_mode``): mass-identical
+    embeddings — boilerplate pages embedded identically, zero vectors
+    from a failed encoder — land every copy in ONE (table, bucket) cell
+    per table, and an unguarded self-join there is quadratic (the exact
+    job-killer the text-LSH path guards against). The SRP (table,
+    bucket) cells have the same shape as minhash (band, bh) cells, so
+    the SAME guard applies: buckets above ``max_bucket`` emit
+    O(n) star pairs to the bucket-min representative (connectivity for
+    clustering is preserved — a mass-identical bucket is one clique and
+    the star spans it, with every star pair surviving the exact cosine
+    verify), ``"drop"`` discards them, ``"split"`` re-buckets by the
+    next table's bucket id. ``max_bucket=None`` disables the guard
+    (all-pairs within every bucket — the pre-guard behavior)."""
+    from .dedup import lsh_candidate_pairs
+
     sigs = srp_signatures(df, id_col, vec_col, dim, n_planes, n_tables)
-    l, r = sigs.alias("l"), sigs.alias("r")
-    cands = (
-        l.join(r, ["table", "bucket"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
+    cands = lsh_candidate_pairs(
+        sigs.select(
+            "id", F.col("table").alias("band"), F.col("bucket").alias("bh")
+        ),
+        max_bucket,
+        oversize_mode,
+        n_bands=n_tables,
     )
     vecs = df.select(
         F.col(id_col).cast("bigint").alias("vid"), F.col(vec_col).alias("vec")
@@ -894,6 +913,8 @@ def semantic_dedup(
     n_planes: int = 12,
     n_tables: int = 8,
     tie_col: str | None = None,
+    max_bucket: int | None = 4096,
+    oversize_mode: str = "star",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) in one call: keep ONE document per
     semantic cluster — cosine near-dup pair graph → connected
@@ -910,7 +931,11 @@ def semantic_dedup(
     driver query gates exactly this composition). Either way the
     verify is exact, so every emitted pair is a true >= ``min_cosine``
     pair; only recall differs. ``dim`` is required for the SRP path
-    (plane geometry)."""
+    (plane geometry). ``max_bucket``/``oversize_mode`` forward to the
+    SRP path's hot-bucket guard (mass-identical embeddings stay
+    O(n·cap) instead of quadratic; star pairs keep each hot bucket's
+    clique connected, so survivors are unchanged for the degenerate
+    corpora the guard exists for)."""
     from .dedup import duplicate_clusters, resolve_duplicates
 
     if exact:
@@ -922,7 +947,8 @@ def semantic_dedup(
                 "(pass exact=True for the all-pairs oracle graph)"
             )
         pairs = embedding_near_dup_pairs(
-            df, id_col, vec_col, dim, min_cosine, n_planes, n_tables
+            df, id_col, vec_col, dim, min_cosine, n_planes, n_tables,
+            max_bucket, oversize_mode,
         )
     clusters = duplicate_clusters(pairs.select("a", "b"))
     return resolve_duplicates(df, id_col, clusters, quality_col, tie_col)

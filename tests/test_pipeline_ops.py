@@ -210,6 +210,50 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert {(j, 100 + j) for j in range(5)} <= got
 
 
+def test_embedding_srp_hot_bucket_guard(spark):
+    """Mass-identical embeddings (identically-embedded boilerplate, zero
+    vectors from a failed encoder) put every copy in ONE SRP bucket per
+    table; the guard must keep candidates O(n·cap) star pairs instead of
+    the quadratic all-pairs join, and semantic_dedup survivors must be
+    unchanged (the star spans the clique and every star pair survives
+    the exact cosine verify)."""
+    import numpy as np
+
+    from sprout_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base], i) for i in range(50)]
+    for i in range(50, 60):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v], i))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    guarded = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", dim=16, min_cosine=0.95, max_bucket=8
+    ).collect()
+    clique_pairs = {
+        (r["a"], r["b"]) for r in guarded if r["a"] < 50 and r["b"] < 50
+    }
+    # star, not quadratic: 49 (rep, member) pairs, never C(50,2)=1225
+    assert clique_pairs == {(0, b) for b in range(1, 50)}
+    unguarded = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", dim=16, min_cosine=0.95, max_bucket=None
+    ).collect()
+    assert len({(r["a"], r["b"]) for r in unguarded if r["a"] < 50}) >= 1225
+    kw = dict(dim=16, min_cosine=0.95)
+    s_guard = {r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", "label", max_bucket=8, **kw
+    ).collect()}
+    s_full = {r["vec_id"] for r in semantic_dedup(
+        df, "vec_id", "embedding", "label", max_bucket=None, **kw
+    ).collect()}
+    assert s_guard == s_full  # one clique survivor + the 10 isolates
+    assert len(s_guard) == 11
+
+
 @pytest.fixture()
 def langdocs(docs):
     from pyspark.sql import functions as F
