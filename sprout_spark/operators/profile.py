@@ -148,10 +148,12 @@ def profile_table(
         )
 
     merged = {}
-    for r in tree_merge(
+    # stop_at=64: the remaining <= 64 rows per name fold below at the
+    # driver instead of through one more shuffle + Python stage
+    for r in sorted(tree_merge(
         partials, n_parts, group_cols=("name",), schema=MULTI_ROW_SCHEMA,
-        merge_fn=merge_named,
-    ).collect():
+        merge_fn=merge_named, stop_at=64,
+    ).collect(), key=lambda r: (r["name"], r["part_id"])):
         sk = sketch_from_bytes(r["sketch"])
         merged[r["name"]] = (
             sk if r["name"] not in merged else merged[r["name"]].merge(sk)

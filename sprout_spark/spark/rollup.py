@@ -534,7 +534,10 @@ class SketchRollup:
             "rows",
             F.lit(0.0).alias("build_ms"),
         )
-        merged = tree_merge(partials, _MERGE_PARTS)
+        # stop_at: the last tree level would reduce <= 64 KB-sized rows
+        # to 1 through a full shuffle + Python round trip; the driver
+        # fold in collect_merged does the same work without the stage
+        merged = tree_merge(partials, _MERGE_PARTS, stop_at=64)
         return collect_merged(merged, self.factory)
 
     def estimate(
