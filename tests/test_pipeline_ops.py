@@ -598,16 +598,45 @@ def test_duplicate_clusters_chain_converges_logarithmically(spark):
     assert got.count() == 1000
 
 
-def test_duplicate_clusters_raises_when_not_converged(spark):
+def test_duplicate_clusters_raises_when_not_converged(spark, monkeypatch):
     """Exhausting max_iters must be a hard error, not silent partial
-    labels (ADVICE r2: wrong cluster assignments with no signal)."""
-    from sprout_spark.operators.dedup import duplicate_clusters
+    labels (ADVICE r2: wrong cluster assignments with no signal). The
+    driver union-find fast path solves any in-cap graph without
+    iterating, so pin the cap to 0 to exercise the distributed rounds'
+    guard."""
+    from sprout_spark.operators import dedup as dedup_mod
 
+    monkeypatch.setattr(dedup_mod, "_CLUSTERS_DRIVER_MAX_EDGES", 0)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "a bigint, b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(pairs, max_iters=2)
+        dedup_mod.duplicate_clusters(pairs, max_iters=2)
+
+
+def test_duplicate_clusters_driver_equals_distributed(spark, monkeypatch):
+    """The union-find fast path and the distributed label propagation
+    must produce identical (id, cluster) rows on a mixed graph (chain +
+    clique + isolates-in-pairs)."""
+    from sprout_spark.operators import dedup as dedup_mod
+
+    edges = (
+        [(i, i + 1) for i in range(40)]  # chain: one component, min 0
+        + [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+        + [(500, 501), (600, 601)]
+    )
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    fast = {
+        (r["id"], r["cluster"])
+        for r in dedup_mod.duplicate_clusters(pairs).collect()
+    }
+    monkeypatch.setattr(dedup_mod, "_CLUSTERS_DRIVER_MAX_EDGES", 0)
+    dist = {
+        (r["id"], r["cluster"])
+        for r in dedup_mod.duplicate_clusters(pairs).collect()
+    }
+    assert fast == dist
+    assert {(0, 0), (40, 0), (104, 100), (601, 600)} <= fast
 
 
 def test_lsh_hot_bucket_guard_star_mode(spark):
