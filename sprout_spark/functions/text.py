@@ -185,6 +185,9 @@ def document_fingerprints(
     Output: (id, fp bigint) — ``keep`` rows per non-trivial doc. Shared
     fingerprints indicate copied spans (containment, where token-level
     Jaccard misses reordered boilerplate)."""
+    from ..spark.spread import spread_small_input
+
+    df = spread_small_input(df)
 
     def fn(batches):
         for batch in batches:
@@ -195,19 +198,32 @@ def document_fingerprints(
             if len(h) == 0:
                 continue
             n = len(ids)
-            seg = np.repeat(np.arange(n, dtype=np.int64), counts)
-            order = np.lexsort((h, seg))  # group by row, hash ascending
-            # rank within each row's (sorted, contiguous) window block
-            excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            rank = np.arange(len(h), dtype=np.int64) - np.repeat(excl, counts)
-            keep_mask = rank < np.minimum(
-                np.repeat(counts, counts), keep
-            )
-            sel = order[keep_mask]
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            # k-smallest (with multiplicity, order irrelevant — callers
+            # dedupe on (id, fp)) via one np.partition per row: O(W)
+            # total instead of the O(W log W) global lexsort this
+            # replaced — the sort was ~half the containment
+            # fingerprint cost at sf0.1 (~17M windows)
+            out_fps, out_ids = [], []
+            for i in range(n):
+                c = int(counts[i])
+                if c == 0:
+                    continue
+                row = h[starts[i]:ends[i]]
+                sel = (
+                    np.partition(row, keep - 1)[:keep] if c > keep else row
+                )
+                out_fps.append(sel)
+                out_ids.append(np.full(len(sel), ids[i], np.int64))
+            if not out_fps:
+                continue
             yield pa.RecordBatch.from_pydict(
                 {
-                    "id": pa.array(ids[seg[sel]], pa.int64()),
-                    "fp": pa.array(h[sel].view(np.int64), pa.int64()),
+                    "id": pa.array(np.concatenate(out_ids), pa.int64()),
+                    "fp": pa.array(
+                        np.concatenate(out_fps).view(np.int64), pa.int64()
+                    ),
                 }
             )
 

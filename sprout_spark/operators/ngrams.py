@@ -125,7 +125,11 @@ def heavy_ngrams(
             f"mg_k={mg_k} cannot guarantee phi={phi} proposals "
             f"(needs >= {need}): heavy keys could be silently missed"
         )
-    text = df.select(F.col(text_col).cast("string").alias("t"))
+    from sprout_spark.spark.spread import spread_small_input
+
+    text = spread_small_input(
+        df.select(F.col(text_col).cast("string").alias("t"))
+    )
 
     # Propose: one Arrow pass builds gram strings vectorized and feeds
     # the MG partial directly — the gram explode never runs in the JVM

@@ -135,6 +135,9 @@ def srp_signatures(
     :func:`build_srp_index` / :func:`ann_lsh_topk`, so default-built
     signatures answer default queries (a silent plane-count mismatch
     would bucket-join nothing)."""
+    from ..spark.spread import spread_small_input
+
+    df = spread_small_input(df)
 
     def fn(batches):
         for batch in batches:

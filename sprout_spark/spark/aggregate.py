@@ -172,7 +172,13 @@ def _update_sketch_from_pandas(sk: MergeableSketch, vals: pd.Series) -> None:
 def partial_sketches(
     df: DataFrame, col: str, factory: Callable[[], MergeableSketch]
 ) -> DataFrame:
-    """One serialized sketch row per input partition (the partial step)."""
+    """One serialized sketch row per input partition (the partial step).
+
+    Deliberately NOT routed through ``spread_small_input``: sketch
+    updates are cheap per row (vectorized hash + bitset), so for the
+    small single-row-group inputs the spread targets, the repartition
+    exchange costs more than the serialized kernel it parallelizes
+    (measured: bloom_build 1.05s -> 1.61s WITH spread at sf0.1)."""
 
     def fn(batches):
         from pyspark import TaskContext
