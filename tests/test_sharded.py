@@ -62,17 +62,52 @@ def test_sharded_fpr_holds(spark, keyed_df):
 
 
 def test_probe_plan_has_no_broadcast(spark, keyed_df):
-    """The whole point: the filter payload must move through the shard
+    """The beyond-broadcast contract: with the small-filter broadcast
+    fast path disabled, the filter payload must move through the shard
     shuffle (once per shard), never a BroadcastExchange (VERDICT r1 #1)."""
     filters = build_sharded_bloom(
         keyed_df, "k", n_shards=4, expected_distinct=20_000
     )
-    probed = sharded_might_contain(keyed_df, "k", filters, 4)
-    plan = probed._sc._jvm.PythonSQLUtils.explainString(
-        probed._jdf.queryExecution(), "formatted"
-    )
+    spark.conf.set("spark.sprout.sharded.broadcastMaxBytes", "0")
+    try:
+        probed = sharded_might_contain(keyed_df, "k", filters, 4)
+        plan = probed._sc._jvm.PythonSQLUtils.explainString(
+            probed._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.unset("spark.sprout.sharded.broadcastMaxBytes")
     assert "BroadcastExchange" not in plan
     assert "FlatMapCoGroupsInArrow" in plan or "CoGroup" in plan
+
+
+def test_probe_broadcast_fast_path_equals_cogroup(spark, keyed_df):
+    """Default path for broadcast-sized filter tables: shuffle-free
+    Arrow-UDF probe (no CoGroup, no Exchange of probe rows) with
+    row-wise results identical to the cogroup plan."""
+    filters = build_sharded_bloom(
+        keyed_df, "k", n_shards=4, expected_distinct=20_000
+    ).cache()
+    fast = sharded_might_contain(keyed_df, "k", filters, 4)
+    plan = fast._sc._jvm.PythonSQLUtils.explainString(
+        fast._jdf.queryExecution(), "formatted"
+    )
+    assert "FlatMapCoGroupsInArrow" not in plan
+    assert "ArrowEvalPython" in plan
+    spark.conf.set("spark.sprout.sharded.broadcastMaxBytes", "0")
+    try:
+        slow = sharded_might_contain(keyed_df, "k", filters, 4)
+        b = sorted(
+            (r["k"], r["might_contain"])
+            for r in slow.select("k", "might_contain").collect()
+        )
+    finally:
+        spark.conf.unset("spark.sprout.sharded.broadcastMaxBytes")
+    a = sorted(
+        (r["k"], r["might_contain"])
+        for r in fast.select("k", "might_contain").collect()
+    )
+    assert a == b
+    filters.unpersist()
 
 
 def test_salted_build_bitwise_equals_unsalted(spark, keyed_df):
@@ -175,13 +210,17 @@ def test_probe_salt_results_identical_and_in_shuffle_key(spark, keyed_df):
     filters = build_sharded_bloom(
         keyed_df, "k", n_shards=4, expected_distinct=20_000
     ).cache()
-    salted = sharded_might_contain(keyed_df, "k", filters, 4, probe_salt=4)
-    plain = sharded_might_contain(keyed_df, "k", filters, 4, probe_salt=1)
-    plan = salted._sc._jvm.PythonSQLUtils.explainString(
-        salted._jdf.queryExecution(), "formatted"
-    )
-    assert "_psalt" in plan
-    assert "BroadcastExchange" not in plan
+    spark.conf.set("spark.sprout.sharded.broadcastMaxBytes", "0")
+    try:
+        salted = sharded_might_contain(keyed_df, "k", filters, 4, probe_salt=4)
+        plain = sharded_might_contain(keyed_df, "k", filters, 4, probe_salt=1)
+        plan = salted._sc._jvm.PythonSQLUtils.explainString(
+            salted._jdf.queryExecution(), "formatted"
+        )
+        assert "_psalt" in plan
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.unset("spark.sprout.sharded.broadcastMaxBytes")
     a = sorted(
         (r["k"], r["might_contain"])
         for r in salted.groupBy("k", "might_contain").count().collect()
