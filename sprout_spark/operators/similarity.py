@@ -682,8 +682,10 @@ def ann_ivf_topk_batch(
         )
     pruned = index.where(F.col("cell").isin(hit))
     right = F.broadcast(probes) if broadcast_queries else probes
-    scored = pruned.join(right, "cell").select(
-        "qid", "id", _pairwise_cosine().alias("cosine")
+    # exact re-rank in the Arrow fold kernel (bit-identical to the
+    # _pairwise_cosine expression, ~10x faster on candidate volumes)
+    scored = _pairwise_cosine_map(
+        pruned.join(right, "cell"), "qid", "qvec", "id", "vec", None
     )
     return _topk_per_query(scored, k)
 
@@ -728,10 +730,10 @@ def ann_lsh_topk_batch(
     dv = df.select(
         F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec")
     )
-    scored = (
+    scored = _pairwise_cosine_map(
         cands.join(F.broadcast(qv) if broadcast_queries else qv, "qid")
-        .join(dv, "id")
-        .select("qid", "id", _pairwise_cosine().alias("cosine"))
+        .join(dv, "id"),
+        "qid", "qvec", "id", "vec", None,
     )
     return _topk_per_query(scored, k)
 
@@ -888,7 +890,30 @@ def cosine_pairs_exact(
     a = vecs.select(F.col("vid").alias("a"), F.col("vec").alias("va"))
     b = vecs.select(F.col("vid").alias("b"), F.col("vec").alias("vb"))
     pairs = a.crossJoin(b).where(F.col("a") < F.col("b"))
-    thr = float(min_cosine)
+    return _pairwise_cosine_map(
+        pairs, "a", "va", "b", "vb", float(min_cosine)
+    )
+
+
+def _pairwise_cosine_map(
+    pairs: DataFrame,
+    id1: str,
+    v1: str,
+    id2: str,
+    v2: str,
+    min_cosine: float | None,
+) -> DataFrame:
+    """(id1, id2, cosine) for a pair table carrying both vectors, via a
+    vectorized Arrow kernel whose dimension-ascending fold replicates
+    the exact IEEE op order of the JVM ``zip_with``/``aggregate``
+    expression (:func:`_pairwise_cosine`) — cosines are bit-identical,
+    at ~10x the throughput (the expression form is interpreted per
+    pair). ``min_cosine=None`` keeps every pair (the re-rank shape);
+    with a threshold only surviving pairs are emitted. Pairs with NULL
+    or ragged vectors are dropped — the expression form gives them NULL
+    cosine, which a threshold filter drops identically (re-rank callers
+    never produce them: their kernels drop NULL embeddings)."""
+    thr = None if min_cosine is None else float(min_cosine)
 
     def kernel(batches):
         import pyarrow.compute as pc
@@ -915,7 +940,7 @@ def cosine_pairs_exact(
                 )
             )
             # JVM semantics: NULL vectors, ragged pairs, or NULL elements
-            # make the fold NULL -> dropped by the threshold filter
+            # make the fold NULL -> dropped
             ok = (la == lb) & (la > 0)
             if va.flatten().null_count or vb.flatten().null_count:
                 valid_a = np.asarray([
@@ -933,12 +958,14 @@ def cosine_pairs_exact(
                 A = np.asarray(
                     va.take(pa.array(idx)).flatten().to_numpy(
                         zero_copy_only=False
-                    )
+                    ),
+                    dtype=np.float64,
                 ).reshape(len(idx), int(d))
                 B = np.asarray(
                     vb.take(pa.array(idx)).flatten().to_numpy(
                         zero_copy_only=False
-                    )
+                    ),
+                    dtype=np.float64,
                 ).reshape(len(idx), int(d))
                 dot = np.zeros(len(idx))
                 na2 = np.zeros(len(idx))
@@ -950,17 +977,27 @@ def cosine_pairs_exact(
                     nb2 += y * y
                 denom = np.maximum(np.sqrt(na2) * np.sqrt(nb2), 1e-12)
                 cos = dot / denom
-                m = cos >= thr
+                m = cos >= thr if thr is not None else np.ones(
+                    len(cos), dtype=bool
+                )
                 if m.any():
                     yield pa.RecordBatch.from_pydict(
                         {
-                            "a": pa.array(ids_a[idx[m]], pa.int64()),
-                            "b": pa.array(ids_b[idx[m]], pa.int64()),
+                            id1: pa.array(ids_a[idx[m]], pa.int64()),
+                            id2: pa.array(ids_b[idx[m]], pa.int64()),
                             "cosine": pa.array(cos[m], pa.float64()),
                         }
                     )
 
-    return pairs.mapInArrow(kernel, "a bigint, b bigint, cosine double")
+    sel = pairs.select(
+        F.col(id1).cast("bigint").alias(id1),
+        F.col(v1),
+        F.col(id2).cast("bigint").alias(id2),
+        F.col(v2),
+    )
+    return sel.mapInArrow(
+        kernel, f"{id1} bigint, {id2} bigint, cosine double"
+    )
 
 
 def embedding_near_dup_pairs(
