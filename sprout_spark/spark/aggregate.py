@@ -178,7 +178,8 @@ def partial_sketches(
     updates are cheap per row (vectorized hash + bitset), so for the
     small single-row-group inputs the spread targets, the repartition
     exchange costs more than the serialized kernel it parallelizes
-    (measured: bloom_build 1.05s -> 1.61s WITH spread at sf0.1)."""
+    (measured both round-robin and hash spread at sf0.1: bloom_build
+    1.05s -> 1.61s / 0.98s, tdigest 0.55s -> 0.81s — both worse)."""
 
     def fn(batches):
         from pyspark import TaskContext

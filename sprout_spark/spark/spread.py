@@ -67,4 +67,16 @@ def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if size > max_bytes:
         return df
     want = min_parts or spark.sparkContext.defaultParallelism
+    # hash-repartition on the row content where possible: round-robin
+    # repartition pays a per-partition sort (sortBeforeRepartition, the
+    # SPARK-23207 retry fix) that serializes on the one populated input
+    # partition — hash partitioning is retry-safe without it (the keys
+    # are deterministic row values). Map-typed columns can't hash;
+    # xxhash64 of the remaining columns spreads fine (load balance only
+    # — correctness never depends on the assignment).
+    from pyspark.sql import functions as F
+
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
+    if hashable:
+        return df.repartition(want, F.xxhash64(*hashable))
     return df.repartition(want)
