@@ -417,9 +417,11 @@ def test_bloom_gated_kv_store_sharded_gate(spark, tmp_path):
     for i in range(0, 400, 37):
         wins = max(e for e in range(3) if e * 100 <= i < e * 100 + 200)
         assert got[f"k{i}"] == f"e{wins}v{i}".encode(), (i, got[f"k{i}"])
-    # the GATE probe never broadcasts its payload (the cogrouped shard
-    # join); the downstream exact value join is free to broadcast the
-    # small pruned STORE slice — that's Catalyst's call, not the gate's
+    # the GATE probe never puts its payload through a BroadcastExchange:
+    # broadcast-sized gates take the shuffle-free Arrow-UDF fast path
+    # (an explicit sc.broadcast of payload bytes, not a join exchange);
+    # beyond spark.sprout.sharded.broadcastMaxBytes the cogrouped shard
+    # join runs — pin the cap to 0 to assert that beyond-broadcast shape
     from sprout_spark.spark.sharded import sharded_might_contain
 
     probe_plan = (
@@ -428,6 +430,18 @@ def test_bloom_gated_kv_store_sharded_gate(spark, tmp_path):
         .executedPlan()
         .toString()
     )
+    assert "BroadcastExchange" not in probe_plan
+    assert "ArrowEvalPython" in probe_plan  # small gate: fast path
+    spark.conf.set("spark.sprout.sharded.broadcastMaxBytes", "0")
+    try:
+        probe_plan = (
+            sharded_might_contain(probes, "k", kv._gate_df(), out_col="_m")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sprout.sharded.broadcastMaxBytes")
     assert "BroadcastExchange" not in probe_plan
     assert "FlatMapCoGroupsInArrow" in probe_plan or "CoGroup" in probe_plan
     # per-shard compound FPR stays within budget (strict SBF schedule)
