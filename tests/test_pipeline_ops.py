@@ -210,6 +210,83 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert {(j, 100 + j) for j in range(5)} <= got
 
 
+def test_cosine_pairs_exact_mixed_dims_and_nulls(spark):
+    """The broadcast cosine kernel must reproduce the JVM fold's edge
+    semantics: vectors only pair within their own length group (zip_with
+    pads the shorter side with NULL -> NULL cosine -> dropped), and
+    NULL vectors / NULL elements never produce a pair."""
+    from sprout_spark.operators.similarity import cosine_pairs_exact
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),      # pairs with 0 at cosine 1.0
+        (2, [1.0, 0.0]),           # dim-2 group
+        (3, [1.0, 0.0]),           # pairs with 2 at cosine 1.0
+        (4, None),                 # NULL vector: no pairs
+        (5, [1.0, None, 0.0]),     # NULL element: no pairs
+        (6, [-1.0, 0.0, 0.0]),     # pairs below threshold: dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in cosine_pairs_exact(df, "vec_id", "embedding", 0.5).collect()}
+    assert set(got) == {(0, 1), (2, 3)}
+    assert got[(0, 1)] == 1.0 and got[(2, 3)] == 1.0
+    # above the broadcast cap the crossJoin + pair kernel must agree
+    from sprout_spark.operators import similarity as S
+    old_cap = S._EXACT_BROADCAST_MAX_ROWS
+    S._EXACT_BROADCAST_MAX_ROWS = 0
+    try:
+        got2 = {(r["a"], r["b"]): r["cosine"] for r in cosine_pairs_exact(
+            df, "vec_id", "embedding", 0.5).collect()}
+    finally:
+        S._EXACT_BROADCAST_MAX_ROWS = old_cap
+    assert got2 == got
+
+
+def test_verify_jaccard_fallback_paths(spark):
+    """Duplicate ids and NULL token elements must disqualify the
+    broadcast verify (falling back to the join plan), with identical
+    results from both plans on clean input."""
+    from sprout_spark.operators.dedup import verify_jaccard
+    from sprout_spark.operators import dedup as D
+
+    toks = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b", "d"]), (3, ["x"])],
+        "id bigint, tokens array<string>",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 9)], "a bigint, b bigint"
+    )
+    fast = {(r["a"], r["b"], r["jaccard"])
+            for r in verify_jaccard(cands, toks, 0.4).collect()}
+    old = D._VERIFY_BROADCAST_MAX_DOCS
+    D._VERIFY_BROADCAST_MAX_DOCS = 0
+    try:
+        slow = {(r["a"], r["b"], r["jaccard"])
+                for r in verify_jaccard(cands, toks, 0.4).collect()}
+    finally:
+        D._VERIFY_BROADCAST_MAX_DOCS = old
+    assert fast == slow == {(1, 2, 0.5)}  # (1,3) below thr; (2,9) no b row
+    # NULL element -> fall back (same answer, join plan)
+    toks_null = spark.createDataFrame(
+        [(1, ["a", "b", None]), (2, ["a", "b", "d"])],
+        "id bigint, tokens array<string>",
+    )
+    out = verify_jaccard(
+        spark.createDataFrame([(1, 2)], "a bigint, b bigint"), toks_null, 0.1
+    ).collect()
+    assert len(out) == 1  # array_intersect/union handle the null slot
+    # duplicate id -> fall back (join fans out, matching JVM semantics)
+    toks_dup = spark.createDataFrame(
+        [(1, ["a"]), (1, ["a"]), (2, ["a"])],
+        "id bigint, tokens array<string>",
+    )
+    out = verify_jaccard(
+        spark.createDataFrame([(1, 2)], "a bigint, b bigint"), toks_dup, 0.1
+    ).collect()
+    assert len(out) == 2  # two id=1 rows both join
+
+
 def test_embedding_srp_hot_bucket_guard(spark):
     """Mass-identical embeddings (identically-embedded boilerplate, zero
     vectors from a failed encoder) put every copy in ONE SRP bucket per
